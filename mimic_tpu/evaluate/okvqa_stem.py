@@ -1,0 +1,228 @@
+"""OKVQA v1.1 answer stemmer, self-contained.
+
+Behavioral port of the reference stemmer (``testbed/data/ok_vqa/__init__.py:188-206``):
+for each token, (1) apply the manual-match table, else (2) if it ends in ``-ing``
+lemmatize as a verb, else (3) if it looks like a plural noun, singularize.
+
+The reference delegates steps to NLTK (punkt tokenizer, averaged-perceptron POS
+tagger, WordNet lemmatizer) and the ``inflection`` package — none of which can ship
+their data files here — so this module implements:
+
+- a PTB-style word tokenizer (shared rules with ``ptb_tokenizer``)
+- a rule-based ``-ing`` verb lemmatizer following WordNet's morphy suffix rules
+  (``ing → ''`` with consonant un-doubling, ``ing → e`` restoration) plus WordNet's
+  irregular-verb exception list for common caption/VQA vocabulary
+- the Rails/``inflection`` singularization rule set (public, well-defined rules)
+- a plural-noun heuristic standing in for the POS tagger: a token is treated as
+  NNS/NNPS when it ends in ``s`` but not ``ss``/``us``/``is`` — the manual table
+  already covers the OKVQA vocabulary where this heuristic and a real tagger diverge.
+"""
+
+from __future__ import annotations
+
+import re
+from typing import List
+
+from .ptb_tokenizer import ptb_tokenize
+
+# Manual matches from the OKVQA v1.1 release procedure: words the automatic rules
+# miss or would transform incorrectly (same data as the reference table, which in
+# turn comes from checking raw_answers vs answers in the released OKVQA dataset).
+MANUAL_MATCHES = {
+    "police": "police", "las": "las", "vegas": "vegas", "yes": "yes",
+    "jeans": "jean", "hell's": "hell", "domino's": "domino", "morning": "morn",
+    "clothes": "cloth", "are": "are", "riding": "ride", "leaves": "leaf",
+    "dangerous": "danger", "clothing": "cloth", "texting": "text",
+    "kiting": "kite", "firefighters": "firefight", "ties": "tie",
+    "married": "married", "teething": "teeth", "gloves": "glove",
+    "tennis": "tennis", "dining": "dine", "directions": "direct",
+    "waves": "wave", "christmas": "christmas", "drives": "drive",
+    "pudding": "pud", "coding": "code", "plating": "plate", "quantas": "quanta",
+    "hornes": "horn", "graves": "grave", "mating": "mate", "paned": "pane",
+    "alertness": "alert", "sunbathing": "sunbath", "tenning": "ten",
+    "wetness": "wet", "urinating": "urine", "sickness": "sick",
+    "braves": "brave", "firefighting": "firefight", "lenses": "lens",
+    "reflections": "reflect", "backpackers": "backpack", "eatting": "eat",
+    "designers": "design", "curiousity": "curious", "playfulness": "play",
+    "blindness": "blind", "hawke": "hawk", "tomatoe": "tomato",
+    "rodeoing": "rodeo", "brightness": "bright", "circuses": "circus",
+    "skateboarders": "skateboard", "staring": "stare", "electronics": "electron",
+    "electicity": "elect", "mountainous": "mountain", "socializing": "social",
+    "hamburgers": "hamburg", "caves": "cave", "transitions": "transit",
+    "wading": "wade", "creame": "cream", "toileting": "toilet",
+    "sautee": "saute", "buildings": "build", "belongings": "belong",
+    "stockings": "stock", "walle": "wall", "cumulis": "cumuli",
+    "travelers": "travel", "conducter": "conduct", "browsing": "brows",
+    "pooping": "poop", "haircutting": "haircut", "toppings": "top",
+    "hearding": "heard", "sunblocker": "sunblock", "bases": "base",
+    "markings": "mark", "mopeds": "mope", "kindergartener": "kindergarten",
+    "pies": "pie", "scrapbooking": "scrapbook", "couponing": "coupon",
+    "meetings": "meet", "elevators": "elev", "lowes": "low", "men's": "men",
+    "childrens": "children", "shelves": "shelve", "paintings": "paint",
+    "raines": "rain", "paring": "pare", "expressions": "express",
+    "routes": "rout", "pease": "peas", "vastness": "vast", "awning": "awn",
+    "boy's": "boy", "drunkenness": "drunken", "teasing": "teas",
+    "conferences": "confer", "ripeness": "ripe", "suspenders": "suspend",
+    "earnings": "earn", "reporters": "report", "kid's": "kid",
+    "containers": "contain", "corgie": "corgi", "porche": "porch",
+    "microwaves": "microwave", "batter's": "batter", "sadness": "sad",
+    "apartments": "apart", "oxygenize": "oxygen", "striping": "stripe",
+    "purring": "pure", "professionals": "profession", "piping": "pipe",
+    "farmer's": "farmer", "potatoe": "potato", "emirates": "emir",
+    "womens": "women", "veteran's": "veteran", "wilderness": "wilder",
+    "propellers": "propel", "alpes": "alp", "charioteering": "chariot",
+    "swining": "swine", "illness": "ill", "crepte": "crept",
+    "adhesives": "adhesive", "regent's": "regent", "decorations": "decor",
+    "rabbies": "rabbi", "overseas": "oversea", "travellers": "travel",
+    "casings": "case", "smugness": "smug", "doves": "dove",
+    "nationals": "nation", "mustange": "mustang", "ringe": "ring",
+    "gondoliere": "gondolier", "vacationing": "vacate", "reminders": "remind",
+    "baldness": "bald", "settings": "set", "glaced": "glace",
+    "coniferous": "conifer", "revelations": "revel", "personals": "person",
+    "daughter's": "daughter", "badness": "bad", "projections": "project",
+    "polarizing": "polar", "vandalizers": "vandal", "minerals": "miner",
+    "protesters": "protest", "controllers": "control", "weddings": "wed",
+    "sometimes": "sometime", "earing": "ear",
+}
+
+# WordNet irregular "-ing" verb exceptions (morphy exc list subset relevant to
+# everyday vocabulary; full list lives in WordNet's verb.exc).
+_ING_EXCEPTIONS = {
+    "lying": "lie", "dying": "die", "tying": "tie", "vying": "vie",
+    "being": "be", "having": "have", "doing": "do", "going": "go",
+    "saying": "say", "seeing": "see", "making": "make", "taking": "take",
+    "coming": "come", "giving": "give", "using": "use", "living": "live",
+    "moving": "move", "riding": "ride", "writing": "write", "driving": "drive",
+    "hiding": "hide", "rising": "rise", "sliding": "slide", "smiling": "smile",
+    "skating": "skate", "baking": "bake", "biking": "bike", "diving": "dive",
+    "racing": "race", "serving": "serve", "shining": "shine", "waving": "wave",
+    "surfing": "surf", "singing": "sing", "swinging": "swing",
+    "bringing": "bring", "hanging": "hang", "belonging": "belong",
+    "longing": "long", "springing": "spring", "stringing": "string",
+    "winging": "wing", "kinging": "king", "pinging": "ping",
+}
+
+_VOWELS = set("aeiou")
+
+
+def lemmatize_ing(word: str) -> str:
+    """Rule-based verb lemmatization for ``-ing`` forms (WordNet morphy rules)."""
+    if word in _ING_EXCEPTIONS:
+        return _ING_EXCEPTIONS[word]
+    if not word.endswith("ing") or len(word) <= 4:
+        return word
+    stem = word[:-3]
+    # doubled final consonant: running → run (but not for ll/ss/zz-final stems or
+    # words like "falling" where the double letter is part of the base)
+    if (
+        len(stem) >= 3
+        and stem[-1] == stem[-2]
+        and stem[-1] not in _VOWELS
+        and stem[-1] not in "lsz"
+    ):
+        return stem[:-1]
+    # CVCe restoration: 'taking'-style handled by exceptions; generic rule:
+    # consonant + single vowel + consonant stem of short words often needs 'e'
+    # (WordNet checks the lexicon; without it, prefer the bare stem)
+    return stem
+
+
+# Rails ActiveSupport / `inflection` package singularization rules (public rule set).
+_SINGULAR_RULES = [
+    (r"(?i)(quiz)zes$", r"\1"),
+    (r"(?i)(matr)ices$", r"\1ix"),
+    (r"(?i)(vert|ind)ices$", r"\1ex"),
+    (r"(?i)^(ox)en", r"\1"),
+    (r"(?i)(alias|status)(es)?$", r"\1"),
+    (r"(?i)(octop|vir)(us|i)$", r"\1us"),
+    (r"(?i)^(a)x[ie]s$", r"\1xis"),
+    (r"(?i)(cris|test)(is|es)$", r"\1is"),
+    (r"(?i)(shoe)s$", r"\1"),
+    (r"(?i)(o)es$", r"\1"),
+    (r"(?i)(bus)(es)?$", r"\1"),
+    (r"(?i)^(m|l)ice$", r"\1ouse"),
+    (r"(?i)(x|ch|ss|sh)es$", r"\1"),
+    (r"(?i)(m)ovies$", r"\1ovie"),
+    (r"(?i)(s)eries$", r"\1eries"),
+    (r"(?i)([^aeiouy]|qu)ies$", r"\1y"),
+    (r"(?i)([lr])ves$", r"\1f"),
+    (r"(?i)(tive)s$", r"\1"),
+    (r"(?i)(hive)s$", r"\1"),
+    (r"(?i)([^f])ves$", r"\1fe"),
+    (r"(?i)(t)he(sis|ses)$", r"\1hesis"),
+    (r"(?i)(s)ynop(sis|ses)$", r"\1ynopsis"),
+    (r"(?i)(p)rogno(sis|ses)$", r"\1rognosis"),
+    (r"(?i)(p)arenthe(sis|ses)$", r"\1arenthesis"),
+    (r"(?i)(d)iagno(sis|ses)$", r"\1iagnosis"),
+    (r"(?i)(b)a(sis|ses)$", r"\1asis"),
+    (r"(?i)(analy)(sis|ses)$", r"\1sis"),
+    (r"(?i)([ti])a$", r"\1um"),
+    (r"(?i)(n)ews$", r"\1ews"),
+    (r"(?i)(ss)$", r"\1"),
+    (r"(?i)s$", ""),
+]
+
+_UNCOUNTABLE = frozenset(
+    ["equipment", "fish", "information", "jeans", "money", "police",
+     "rice", "series", "sheep", "species"]
+)
+
+_IRREGULAR_SINGULAR = {
+    "people": "person", "men": "man", "women": "woman", "children": "child",
+    "sexes": "sex", "moves": "move", "zombies": "zombie", "geese": "goose",
+    "feet": "foot", "teeth": "tooth",
+}
+
+
+def singularize(word: str) -> str:
+    """Rails-style singularization (parity with ``inflection.singularize``)."""
+    lower = word.lower()
+    if lower in _UNCOUNTABLE:
+        return word
+    if lower in _IRREGULAR_SINGULAR:
+        return _IRREGULAR_SINGULAR[lower]
+    for pattern, repl in _SINGULAR_RULES:
+        if re.search(pattern, word):
+            return re.sub(pattern, repl, word)
+    return word
+
+
+def _looks_plural_noun(word: str) -> bool:
+    """Heuristic NNS/NNPS detector standing in for a statistical POS tagger."""
+    if len(word) < 3 or not word[0].isalpha():
+        return False
+    lower = word.lower()
+    if lower in _IRREGULAR_SINGULAR:  # men, women, children, geese, feet, teeth, ...
+        return True
+    if not lower.endswith("s"):
+        return False
+    if lower.endswith(("ss", "us", "is", "'s")):
+        return False
+    return True
+
+
+class OKVQAStemmer:
+    """Stemmer matching the OKVQA v1.1 procedure (reference ok_vqa/__init__.py:188)."""
+
+    def stem(self, text: str) -> str:
+        words = ptb_tokenize(text, lowercase=False)
+        out: List[str] = []
+        for w in words:
+            if w in MANUAL_MATCHES:
+                w = MANUAL_MATCHES[w]
+            elif w.endswith("ing"):
+                w = lemmatize_ing(w)
+            elif _looks_plural_noun(w):
+                w = singularize(w)
+            out.append(w)
+        return " ".join(out)
+
+
+_stemmer = None
+
+
+def okvqa_postprocess(pred: str) -> str:
+    global _stemmer
+    if _stemmer is None:
+        _stemmer = OKVQAStemmer()
+    return _stemmer.stem(pred)
