@@ -1,0 +1,380 @@
+"""Functional decoder stack (LLaMA / Mistral / Qwen2 families + IDEFICS-1 cross-attn).
+
+TPU-first design decisions:
+
+- **Stacked layer parameters + ``lax.scan``**: every per-layer weight is stored with a
+  leading ``[L, ...]`` axis and the layer loop is a single scanned XLA region —
+  constant compile time in depth, natural sharding, and per-layer capture falls out
+  as scan ``ys`` (replacing the reference's 32-40 Python forward hooks per step,
+  ``src/shift_encoder.py:113-140``).
+- **Explicit shift/capture**: the MimIC/LIVE shift parameters enter as scan inputs
+  and per-layer attention/MLP block outputs exit as scan outputs; nothing is mutated.
+- **logsumexp reuse**: attention returns its log-normalizer; the MimIC μ-gate
+  consumes either that (``logz2="masked"``, the fused fast path) or an unmasked
+  recompute matching the reference ``do_shift`` exactly (``logz2="unmasked"``,
+  reference ``src/shift_encoder.py:697-703`` applies no mask).
+- IDEFICS-1's gated cross-attention layers run as a grouped scan: layers are
+  reshaped ``[L] → [G, K]`` (one cross-attn before each group of K self-attn
+  layers, reference interval semantics).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Any, Dict, NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..shift.functional import apply_attn_shift, apply_output_shift
+from .config import TextConfig
+from .layers import (
+    apply_rope,
+    layer_norm,
+    repeat_kv,
+    rms_norm,
+    rope_cos_sin,
+    sdpa_with_lse,
+    swiglu_mlp,
+    unmasked_lse,
+)
+
+Params = Dict[str, Any]
+
+
+class DecoderOutput(NamedTuple):
+    hidden: jnp.ndarray                      # [B,T,D] final hidden states (pre lm_head)
+    attn_capture: Optional[jnp.ndarray]      # [L,B,T,D] self-attn block outputs
+    ffn_capture: Optional[jnp.ndarray]       # [L,B,T,D] MLP block outputs
+    kv_cache: Optional[Dict[str, jnp.ndarray]]
+
+
+# ---------------------------------------------------------------------------
+# init
+# ---------------------------------------------------------------------------
+
+
+def _dense_init(key, shape, dtype, scale=0.02):
+    return (jax.random.normal(key, shape) * scale).astype(dtype)
+
+
+def init_decoder_params(cfg: TextConfig, key: jax.Array, dtype=jnp.float32) -> Params:
+    L, D, H, Hkv, Dh, F = (
+        cfg.num_layers,
+        cfg.hidden_size,
+        cfg.num_heads,
+        cfg.num_kv_heads,
+        cfg.head_size,
+        cfg.intermediate_size,
+    )
+    keys = iter(jax.random.split(key, 32))
+    layers = {
+        "input_ln": jnp.ones((L, D), dtype),
+        "q_proj": _dense_init(next(keys), (L, D, H * Dh), dtype),
+        "k_proj": _dense_init(next(keys), (L, D, Hkv * Dh), dtype),
+        "v_proj": _dense_init(next(keys), (L, D, Hkv * Dh), dtype),
+        "o_proj": _dense_init(next(keys), (L, H * Dh, D), dtype),
+        "post_ln": jnp.ones((L, D), dtype),
+        "gate_proj": _dense_init(next(keys), (L, D, F), dtype),
+        "up_proj": _dense_init(next(keys), (L, D, F), dtype),
+        "down_proj": _dense_init(next(keys), (L, F, D), dtype),
+    }
+    if cfg.attn_bias:
+        layers["q_bias"] = jnp.zeros((L, H * Dh), dtype)
+        layers["k_bias"] = jnp.zeros((L, Hkv * Dh), dtype)
+        layers["v_bias"] = jnp.zeros((L, Hkv * Dh), dtype)
+    if cfg.qk_layernorm:
+        layers["q_ln"] = jnp.ones((L, Dh), dtype)
+        layers["k_ln"] = jnp.ones((L, Dh), dtype)
+    params: Params = {"layers": layers, "final_ln": jnp.ones((D,), dtype)}
+
+    G = cfg.num_cross_layers
+    if G:
+        # gated cross-attention (IDEFICS-1): q from text, k/v from image states
+        params["cross"] = {
+            "input_ln": jnp.ones((G, D), dtype),
+            "q_proj": _dense_init(next(keys), (G, D, H * Dh), dtype),
+            "k_proj": _dense_init(next(keys), (G, D, Hkv * Dh), dtype),
+            "v_proj": _dense_init(next(keys), (G, D, Hkv * Dh), dtype),
+            "o_proj": _dense_init(next(keys), (G, H * Dh, D), dtype),
+            "post_ln": jnp.ones((G, D), dtype),
+            "gate_proj": _dense_init(next(keys), (G, D, F), dtype),
+            "up_proj": _dense_init(next(keys), (G, D, F), dtype),
+            "down_proj": _dense_init(next(keys), (G, F, D), dtype),
+            "alpha_attn": jnp.zeros((G,), dtype),
+            "alpha_dense": jnp.zeros((G,), dtype),
+        }
+        if cfg.qk_layernorm:
+            params["cross"]["q_ln"] = jnp.ones((G, Dh), dtype)
+            params["cross"]["k_ln"] = jnp.ones((G, Dh), dtype)
+    return params
+
+
+def init_kv_cache(
+    cfg: TextConfig, batch: int, max_len: int, dtype=jnp.float32
+) -> Dict[str, jnp.ndarray]:
+    shape = (cfg.num_layers, batch, max_len, cfg.num_kv_heads, cfg.head_size)
+    return {
+        "k": jnp.zeros(shape, dtype),
+        "v": jnp.zeros(shape, dtype),
+        "length": jnp.zeros((), jnp.int32),
+    }
+
+
+# ---------------------------------------------------------------------------
+# forward
+# ---------------------------------------------------------------------------
+
+
+def _project_qkv(lp: Params, x: jnp.ndarray, cfg: TextConfig):
+    B, T, _ = x.shape
+    H, Hkv, Dh = cfg.num_heads, cfg.num_kv_heads, cfg.head_size
+    q = jnp.dot(x, lp["q_proj"])
+    k = jnp.dot(x, lp["k_proj"])
+    v = jnp.dot(x, lp["v_proj"])
+    if "q_bias" in lp:
+        q = q + lp["q_bias"]
+        k = k + lp["k_bias"]
+        v = v + lp["v_bias"]
+    return (
+        q.reshape(B, T, H, Dh),
+        k.reshape(B, T, Hkv, Dh),
+        v.reshape(B, T, Hkv, Dh),
+    )
+
+
+def _self_attention(
+    lp: Params,
+    ls: Params,
+    x: jnp.ndarray,
+    cos: jnp.ndarray,
+    sin: jnp.ndarray,
+    mask: Optional[jnp.ndarray],
+    cfg: TextConfig,
+    cache_k: Optional[jnp.ndarray],
+    cache_v: Optional[jnp.ndarray],
+    cache_len,
+    multi_head: bool,
+    logz2: str,
+) -> Tuple[jnp.ndarray, Optional[jnp.ndarray], Optional[jnp.ndarray]]:
+    """Returns (attn block output [B,T,D], new_cache_k, new_cache_v)."""
+    B, T, _ = x.shape
+    q, k, v = _project_qkv(lp, x, cfg)
+    q, k = apply_rope(q, k, cos, sin)
+    if cfg.qk_layernorm:
+        q = rms_norm(q, lp["q_ln"], cfg.norm_eps)
+        k = rms_norm(k, lp["k_ln"], cfg.norm_eps)
+
+    if cache_k is not None:
+        # insert current keys/values at [cache_len, cache_len+T)
+        cache_k = jax.lax.dynamic_update_slice(cache_k, k.astype(cache_k.dtype), (0, cache_len, 0, 0))
+        cache_v = jax.lax.dynamic_update_slice(cache_v, v.astype(cache_v.dtype), (0, cache_len, 0, 0))
+        k_all, v_all = cache_k, cache_v
+    else:
+        k_all, v_all = k, v
+
+    k_rep = repeat_kv(k_all, cfg.num_groups)
+    v_rep = repeat_kv(v_all, cfg.num_groups)
+    attn, lse = sdpa_with_lse(q, k_rep, v_rep, mask)
+
+    if ls:
+        log_z2 = lse if logz2 == "masked" else unmasked_lse(q, k_rep)
+        attn = apply_attn_shift(ls, q, log_z2, attn, multi_head)
+
+    out = jnp.dot(attn.reshape(B, T, -1), lp["o_proj"])
+    return out, cache_k, cache_v
+
+
+def _cross_attention(
+    cp: Params,
+    x: jnp.ndarray,
+    cross_states: jnp.ndarray,
+    cross_mask: Optional[jnp.ndarray],
+    cfg: TextConfig,
+) -> jnp.ndarray:
+    """IDEFICS-1 gated cross-attention + gated MLP for one cross layer."""
+    B, T, _ = x.shape
+    H, Hkv, Dh = cfg.num_heads, cfg.num_kv_heads, cfg.head_size
+    residual = x
+    h = rms_norm(x, cp["input_ln"], cfg.norm_eps)
+    q = jnp.dot(h, cp["q_proj"]).reshape(B, T, H, Dh)
+    S = cross_states.shape[1]
+    k = jnp.dot(cross_states, cp["k_proj"]).reshape(B, S, Hkv, Dh)
+    v = jnp.dot(cross_states, cp["v_proj"]).reshape(B, S, Hkv, Dh)
+    if cfg.qk_layernorm:
+        q = rms_norm(q, cp["q_ln"], cfg.norm_eps)
+        k = rms_norm(k, cp["k_ln"], cfg.norm_eps)
+    attn, _ = sdpa_with_lse(q, repeat_kv(k, cfg.num_groups), repeat_kv(v, cfg.num_groups), cross_mask)
+    attn_out = jnp.dot(attn.reshape(B, T, -1), cp["o_proj"])
+    h = residual + jnp.tanh(cp["alpha_attn"]).astype(x.dtype) * attn_out
+    residual = h
+    m = rms_norm(h, cp["post_ln"], cfg.norm_eps)
+    mlp_out = swiglu_mlp(m, cp["gate_proj"], cp["up_proj"], cp["down_proj"])
+    return residual + jnp.tanh(cp["alpha_dense"]).astype(x.dtype) * mlp_out
+
+
+def decoder_forward(
+    params: Params,
+    cfg: TextConfig,
+    input_embeds: jnp.ndarray,
+    attn_mask: Optional[jnp.ndarray],
+    position_ids: jnp.ndarray,
+    *,
+    shift: Optional[Params] = None,
+    multi_head: bool = True,
+    capture_attn: bool = False,
+    capture_ffn: bool = False,
+    kv_cache: Optional[Dict[str, jnp.ndarray]] = None,
+    cross_states: Optional[jnp.ndarray] = None,
+    cross_mask: Optional[jnp.ndarray] = None,
+    logz2: str = "unmasked",
+) -> DecoderOutput:
+    """Run the decoder stack.
+
+    attn_mask: [B,1,T,S] boolean (True = attend) over cached+current keys, or None.
+    position_ids: [B,T] absolute positions for RoPE.
+    shift: stacked shift pytree ([L, ...] leaves) or None.
+    """
+    B, T, D = input_embeds.shape
+    cos, sin = rope_cos_sin(position_ids, cfg.head_size, cfg.rope_theta, input_embeds.dtype)
+
+    shift = shift or {}
+    # split shift keys by where they apply
+    attn_shift_keys = ("attn_v", "attn_logz1_w", "attn_logz1_b")
+    layer_shift = {k: v for k, v in shift.items() if k in attn_shift_keys}
+    out_shift = {k: v for k, v in shift.items() if k not in attn_shift_keys}
+
+    use_cache = kv_cache is not None
+    cache_len = kv_cache["length"] if use_cache else jnp.zeros((), jnp.int32)
+
+    def layer_step(h, xs):
+        lp, ls, os_, ck, cv = xs
+        residual = h
+        hn = rms_norm(h, lp["input_ln"], cfg.norm_eps)
+        attn_out, ck, cv = _self_attention(
+            lp, ls, hn, cos, sin, attn_mask, cfg, ck, cv, cache_len, multi_head, logz2
+        )
+        attn_out = apply_output_shift(
+            attn_out, os_.get("attn_out_shift"), os_.get("attn_out_scale")
+        )
+        h = residual + attn_out
+        residual = h
+        hn = rms_norm(h, lp["post_ln"], cfg.norm_eps)
+        ffn_out = swiglu_mlp(hn, lp["gate_proj"], lp["up_proj"], lp["down_proj"])
+        ffn_out = apply_output_shift(ffn_out, os_.get("ffn_shift"), os_.get("ffn_scale"))
+        h = residual + ffn_out
+        ys = {}
+        if capture_attn:
+            ys["attn"] = attn_out
+        if capture_ffn:
+            ys["ffn"] = ffn_out
+        if use_cache:
+            ys["k"] = ck
+            ys["v"] = cv
+        return h, ys
+
+    layers = params["layers"]
+    ls_stack = layer_shift if layer_shift else None
+    os_stack = out_shift if out_shift else None
+
+    def scan_layers(h, lp_stack, ls, os_, ck, cv):
+        """Scan over a stack of self-attn layers; returns (h, ys_stacked).
+
+        Absent optional inputs (shift pytrees, caches) are replaced by tiny dummy
+        arrays so every scan xs leaf has the same leading axis; static flags decide
+        which inputs the step actually reads.
+        """
+        n = jax.tree.leaves(lp_stack)[0].shape[0]
+        dummy = jnp.zeros((n, 1))
+        has_ls, has_os = ls is not None, os_ is not None
+        xs = (
+            lp_stack,
+            ls if has_ls else dummy,
+            os_ if has_os else dummy,
+            ck if use_cache else dummy,
+            cv if use_cache else dummy,
+        )
+
+        def step(h, xs_):
+            lp, ls_, os__, ck_, cv_ = xs_
+            return layer_step(
+                h,
+                (
+                    lp,
+                    ls_ if has_ls else {},
+                    os__ if has_os else {},
+                    ck_ if use_cache else None,
+                    cv_ if use_cache else None,
+                ),
+            )
+
+        return jax.lax.scan(step, h, xs)
+
+    h = input_embeds
+    ck_stack = kv_cache["k"] if use_cache else None
+    cv_stack = kv_cache["v"] if use_cache else None
+
+    if cfg.cross_attn_interval:
+        # grouped execution: cross-attn g, then K self layers, for each group g
+        K = cfg.cross_attn_interval
+        G = cfg.num_cross_layers
+        ys_groups = []
+        for g in range(G):
+            cp = jax.tree.map(lambda a: a[g], params["cross"])
+            if cross_states is not None:
+                h = _cross_attention(cp, h, cross_states, cross_mask, cfg)
+            lo, hi = g * K, (g + 1) * K
+            sl = lambda t: jax.tree.map(lambda a: a[lo:hi], t)
+            h, ys = scan_layers(
+                h,
+                sl(layers),
+                sl(ls_stack) if ls_stack else None,
+                sl(os_stack) if os_stack else None,
+                ck_stack[lo:hi] if use_cache else None,
+                cv_stack[lo:hi] if use_cache else None,
+            )
+            ys_groups.append(ys)
+        ys = jax.tree.map(lambda *a: jnp.concatenate(a, axis=0), *ys_groups)
+    else:
+        h, ys = scan_layers(h, layers, ls_stack, os_stack, ck_stack, cv_stack)
+
+    h = rms_norm(h, params["final_ln"], cfg.norm_eps)
+
+    new_cache = None
+    if use_cache:
+        new_cache = {"k": ys["k"], "v": ys["v"], "length": cache_len + T}
+    return DecoderOutput(
+        hidden=h,
+        attn_capture=ys.get("attn") if capture_attn else None,
+        ffn_capture=ys.get("ffn") if capture_ffn else None,
+        kv_cache=new_cache,
+    )
+
+
+# ---------------------------------------------------------------------------
+# masks / positions helpers
+# ---------------------------------------------------------------------------
+
+
+def make_causal_mask(attention_mask: jnp.ndarray) -> jnp.ndarray:
+    """[B,T] padding mask → [B,1,T,T] causal+padding boolean mask (True=attend)."""
+    B, T = attention_mask.shape
+    causal = jnp.tril(jnp.ones((T, T), bool))
+    key_ok = attention_mask[:, None, None, :].astype(bool)
+    return causal[None, None] & key_ok
+
+
+def make_decode_mask(attention_mask: jnp.ndarray, total_len: int) -> jnp.ndarray:
+    """[B,S_valid-ish] running key mask → [B,1,1,S] mask for single-token decode."""
+    B = attention_mask.shape[0]
+    pad = total_len - attention_mask.shape[1]
+    if pad > 0:
+        attention_mask = jnp.pad(attention_mask, ((0, 0), (0, pad)))
+    return attention_mask[:, None, None, :].astype(bool)
+
+
+def positions_from_mask(attention_mask: jnp.ndarray) -> jnp.ndarray:
+    """HF-style position ids for left/right padded batches:
+    cumsum(mask) - 1, clamped to 0 at pad positions."""
+    pos = jnp.cumsum(attention_mask.astype(jnp.int32), axis=-1) - 1
+    return jnp.maximum(pos, 0)

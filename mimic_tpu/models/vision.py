@@ -1,0 +1,232 @@
+"""Vision towers and vision→text connectors.
+
+- ``vit_forward``: CLIP-style (class token, quick_gelu, pre-norm) and SigLIP-style
+  (no class token, gelu_tanh) encoders under one config.
+- ``perceiver_forward``: IDEFICS-1 perceiver resampler (latents cross-attend to
+  vision features) and IDEFICS-2 connector (modality projection + GQA perceiver in
+  text width) under one parameterization.
+- ``llava_project``: LLaVA's 2-layer MLP projector.
+
+Patch embedding is implemented as unfold + dense — identical math to the conv
+patchify, and it maps onto a single MXU matmul.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+
+from .config import PerceiverConfig, VisionConfig
+from .layers import gelu_act, layer_norm, repeat_kv, rms_norm, sdpa_with_lse
+
+Params = Dict[str, Any]
+
+
+def _dense(key, shape, dtype, scale=0.02):
+    return (jax.random.normal(key, shape) * scale).astype(dtype)
+
+
+# ---------------------------------------------------------------------------
+# ViT
+# ---------------------------------------------------------------------------
+
+
+def init_vit_params(cfg: VisionConfig, key: jax.Array, dtype=jnp.float32) -> Params:
+    D, F, L = cfg.hidden_size, cfg.intermediate_size, cfg.num_layers
+    p = cfg.patch_size
+    keys = iter(jax.random.split(key, 8))
+    n_pos = cfg.num_patches
+    params: Params = {
+        "patch_embed": {
+            "kernel": _dense(next(keys), (p * p * 3, D), dtype),
+            "bias": jnp.zeros((D,), dtype),
+        },
+        "pos_embed": _dense(next(keys), (n_pos, D), dtype),
+        "layers": {
+            "ln1_w": jnp.ones((L, D), dtype),
+            "ln1_b": jnp.zeros((L, D), dtype),
+            "q_proj": _dense(next(keys), (L, D, D), dtype),
+            "q_bias": jnp.zeros((L, D), dtype),
+            "k_proj": _dense(next(keys), (L, D, D), dtype),
+            "k_bias": jnp.zeros((L, D), dtype),
+            "v_proj": _dense(next(keys), (L, D, D), dtype),
+            "v_bias": jnp.zeros((L, D), dtype),
+            "o_proj": _dense(next(keys), (L, D, D), dtype),
+            "o_bias": jnp.zeros((L, D), dtype),
+            "ln2_w": jnp.ones((L, D), dtype),
+            "ln2_b": jnp.zeros((L, D), dtype),
+            "fc1": _dense(next(keys), (L, D, F), dtype),
+            "fc1_bias": jnp.zeros((L, F), dtype),
+            "fc2": _dense(next(keys), (L, F, D), dtype),
+            "fc2_bias": jnp.zeros((L, D), dtype),
+        },
+        "post_ln_w": jnp.ones((D,), dtype),
+        "post_ln_b": jnp.zeros((D,), dtype),
+    }
+    if cfg.use_class_token:
+        params["class_embed"] = _dense(next(keys), (D,), dtype)
+        params["pre_ln_w"] = jnp.ones((D,), dtype)
+        params["pre_ln_b"] = jnp.zeros((D,), dtype)
+    return params
+
+
+def patchify(pixels: jnp.ndarray, patch: int) -> jnp.ndarray:
+    """[B,H,W,C] → [B, (H/p)*(W/p), p*p*C]; row-major patch scan order."""
+    B, H, W, C = pixels.shape
+    nh, nw = H // patch, W // patch
+    x = pixels.reshape(B, nh, patch, nw, patch, C)
+    x = x.transpose(0, 1, 3, 2, 4, 5)  # [B, nh, nw, p, p, C]
+    return x.reshape(B, nh * nw, patch * patch * C)
+
+
+def vit_forward(params: Params, cfg: VisionConfig, pixels: jnp.ndarray) -> jnp.ndarray:
+    """pixels [B,H,W,C] → features [B, N, D] (post-layernorm applied)."""
+    x = jnp.dot(patchify(pixels, cfg.patch_size), params["patch_embed"]["kernel"])
+    x = x + params["patch_embed"]["bias"]
+    B = x.shape[0]
+    if cfg.use_class_token:
+        cls = jnp.broadcast_to(params["class_embed"][None, None], (B, 1, cfg.hidden_size))
+        x = jnp.concatenate([cls, x.astype(cls.dtype)], axis=1)
+    x = x + params["pos_embed"][None]
+    if cfg.use_class_token:
+        x = layer_norm(x, params["pre_ln_w"], params["pre_ln_b"], cfg.norm_eps)
+
+    H = cfg.num_heads
+    Dh = cfg.hidden_size // H
+
+    def step(h, lp):
+        residual = h
+        hn = layer_norm(h, lp["ln1_w"], lp["ln1_b"], cfg.norm_eps)
+        B_, N, D = hn.shape
+        q = (jnp.dot(hn, lp["q_proj"]) + lp["q_bias"]).reshape(B_, N, H, Dh)
+        k = (jnp.dot(hn, lp["k_proj"]) + lp["k_bias"]).reshape(B_, N, H, Dh)
+        v = (jnp.dot(hn, lp["v_proj"]) + lp["v_bias"]).reshape(B_, N, H, Dh)
+        attn, _ = sdpa_with_lse(q, k, v, mask=None)
+        h = residual + jnp.dot(attn.reshape(B_, N, D), lp["o_proj"]) + lp["o_bias"]
+        residual = h
+        hn = layer_norm(h, lp["ln2_w"], lp["ln2_b"], cfg.norm_eps)
+        hn = gelu_act(jnp.dot(hn, lp["fc1"]) + lp["fc1_bias"], cfg.hidden_act)
+        h = residual + jnp.dot(hn, lp["fc2"]) + lp["fc2_bias"]
+        return h, None
+
+    x, _ = jax.lax.scan(step, x, params["layers"])
+    return layer_norm(x, params["post_ln_w"], params["post_ln_b"], cfg.norm_eps)
+
+
+# ---------------------------------------------------------------------------
+# perceiver resampler / connector
+# ---------------------------------------------------------------------------
+
+
+def init_perceiver_params(
+    pcfg: PerceiverConfig,
+    vision_dim: int,
+    out_dim: int,
+    key: jax.Array,
+    dtype=jnp.float32,
+    project_first: bool = False,
+) -> Params:
+    """IDEFICS-1 style (``project_first=False``): latents live in ``vision_dim``.
+    IDEFICS-2 connector (``project_first=True``): vision features are first
+    MLP-projected to ``out_dim`` and the perceiver runs in ``out_dim`` with RMSNorm."""
+    H = pcfg.num_heads
+    Hkv = pcfg.num_kv_heads or H
+    width = out_dim if project_first else vision_dim
+    Dh = pcfg.head_dim or width // H
+    F = pcfg.intermediate_size or 4 * width
+    L = pcfg.num_layers
+    keys = iter(jax.random.split(key, 12))
+    params: Params = {
+        "latents": _dense(next(keys), (pcfg.num_latents, width), dtype),
+        "layers": {
+            "ln_latents": jnp.ones((L, width), dtype),
+            "ln_context": jnp.ones((L, width), dtype),
+            "q_proj": _dense(next(keys), (L, width, H * Dh), dtype),
+            "k_proj": _dense(next(keys), (L, width, Hkv * Dh), dtype),
+            "v_proj": _dense(next(keys), (L, width, Hkv * Dh), dtype),
+            "o_proj": _dense(next(keys), (L, H * Dh, width), dtype),
+            "post_ln": jnp.ones((L, width), dtype),
+            "gate_proj": _dense(next(keys), (L, width, F), dtype),
+            "up_proj": _dense(next(keys), (L, width, F), dtype),
+            "down_proj": _dense(next(keys), (L, F, width), dtype),
+        },
+        "final_ln": jnp.ones((width,), dtype),
+    }
+    if project_first:
+        params["modality_proj"] = {
+            "gate": _dense(next(keys), (vision_dim, F), dtype),
+            "up": _dense(next(keys), (vision_dim, F), dtype),
+            "down": _dense(next(keys), (F, out_dim), dtype),
+        }
+    return params
+
+
+def perceiver_forward(
+    params: Params,
+    pcfg: PerceiverConfig,
+    vision_feats: jnp.ndarray,
+    norm_eps: float = 1e-6,
+) -> jnp.ndarray:
+    """vision_feats [B, N, width_in] → [B, num_latents, width_out].
+
+    Each layer: latents attend to concat(context, latents) (Flamingo-style),
+    then a gated MLP; both with residuals.
+    """
+    if "modality_proj" in params:
+        mp = params["modality_proj"]
+        gate = jax.nn.silu(jnp.dot(vision_feats, mp["gate"]))
+        up = jnp.dot(vision_feats, mp["up"])
+        vision_feats = jnp.dot(gate * up, mp["down"])
+
+    B = vision_feats.shape[0]
+    width = vision_feats.shape[-1]
+    H = pcfg.num_heads
+    Hkv = pcfg.num_kv_heads or H
+    Dh = pcfg.head_dim or width // H
+    latents = jnp.broadcast_to(
+        params["latents"][None], (B, params["latents"].shape[0], width)
+    ).astype(vision_feats.dtype)
+
+    def step(lat, lp):
+        residual = lat
+        ln_lat = rms_norm(lat, lp["ln_latents"], norm_eps)
+        ln_ctx = rms_norm(vision_feats, lp["ln_context"], norm_eps)
+        kv_input = jnp.concatenate([ln_ctx, ln_lat], axis=1)
+        nq, nk = ln_lat.shape[1], kv_input.shape[1]
+        q = jnp.dot(ln_lat, lp["q_proj"]).reshape(B, nq, H, Dh)
+        k = jnp.dot(kv_input, lp["k_proj"]).reshape(B, nk, Hkv, Dh)
+        v = jnp.dot(kv_input, lp["v_proj"]).reshape(B, nk, Hkv, Dh)
+        attn, _ = sdpa_with_lse(q, repeat_kv(k, H // Hkv), repeat_kv(v, H // Hkv), None)
+        lat = residual + jnp.dot(attn.reshape(B, nq, H * Dh), lp["o_proj"])
+        residual = lat
+        ln = rms_norm(lat, lp["post_ln"], norm_eps)
+        gate = jax.nn.silu(jnp.dot(ln, lp["gate_proj"]))
+        up = jnp.dot(ln, lp["up_proj"])
+        lat = residual + jnp.dot(gate * up, lp["down_proj"])
+        return lat, None
+
+    latents, _ = jax.lax.scan(step, latents, params["layers"])
+    return rms_norm(latents, params["final_ln"], norm_eps)
+
+
+# ---------------------------------------------------------------------------
+# llava projector
+# ---------------------------------------------------------------------------
+
+
+def init_llava_projector(vision_dim: int, text_dim: int, key: jax.Array, dtype=jnp.float32) -> Params:
+    k1, k2 = jax.random.split(key)
+    return {
+        "fc1": _dense(k1, (vision_dim, text_dim), dtype),
+        "fc1_bias": jnp.zeros((text_dim,), dtype),
+        "fc2": _dense(k2, (text_dim, text_dim), dtype),
+        "fc2_bias": jnp.zeros((text_dim,), dtype),
+    }
+
+
+def llava_project(params: Params, vision_feats: jnp.ndarray) -> jnp.ndarray:
+    x = jnp.dot(vision_feats, params["fc1"]) + params["fc1_bias"]
+    x = jax.nn.gelu(x, approximate=False)
+    return jnp.dot(x, params["fc2"]) + params["fc2_bias"]
