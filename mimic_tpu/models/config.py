@@ -37,6 +37,8 @@ class TextConfig:
     sliding_window: Optional[int] = None
     # gated cross-attention every k-th layer (idefics-9b); None = none
     cross_attn_interval: Optional[int] = None
+    # width of the cross-attention key/value inputs (perceiver output dim)
+    cross_kv_dim: Optional[int] = None
 
     @property
     def head_size(self) -> int:
@@ -121,6 +123,7 @@ def idefics_9b() -> ModelConfig:
             norm_eps=1e-6,
             qk_layernorm=True,
             cross_attn_interval=4,
+            cross_kv_dim=1280,
             max_position_embeddings=2048,
         ),
         vision=VisionConfig(
@@ -217,7 +220,7 @@ def tiny_text(family: str = "idefics2", **kw) -> ModelConfig:
         intermediate_size=128,
     )
     if family == "idefics1":
-        base.update(num_kv_heads=4, qk_layernorm=True, cross_attn_interval=2)
+        base.update(num_kv_heads=4, qk_layernorm=True, cross_attn_interval=2, cross_kv_dim=32)
     elif family == "llava-interleave":
         base.update(attn_bias=True)
     base.update(kw)

@@ -91,11 +91,12 @@ def init_decoder_params(cfg: TextConfig, key: jax.Array, dtype=jnp.float32) -> P
     G = cfg.num_cross_layers
     if G:
         # gated cross-attention (IDEFICS-1): q from text, k/v from image states
+        kv_dim = cfg.cross_kv_dim or D
         params["cross"] = {
             "input_ln": jnp.ones((G, D), dtype),
             "q_proj": _dense_init(next(keys), (G, D, H * Dh), dtype),
-            "k_proj": _dense_init(next(keys), (G, D, Hkv * Dh), dtype),
-            "v_proj": _dense_init(next(keys), (G, D, Hkv * Dh), dtype),
+            "k_proj": _dense_init(next(keys), (G, kv_dim, Hkv * Dh), dtype),
+            "v_proj": _dense_init(next(keys), (G, kv_dim, Hkv * Dh), dtype),
             "o_proj": _dense_init(next(keys), (G, H * Dh, D), dtype),
             "post_ln": jnp.ones((G, D), dtype),
             "gate_proj": _dense_init(next(keys), (G, D, F), dtype),

@@ -1,0 +1,318 @@
+"""Autoregressive generation: greedy and beam search.
+
+Parity targets (reference ``src/config/eval.yaml:13-16``): ``num_beams=3``,
+``length_penalty=0.0``, ``max_new_tokens`` 10/20; HF semantics for beam
+bookkeeping (score = Σ logprob / len^length_penalty, early_stopping=False).
+
+The whole decode loop is a single ``lax.scan`` over steps — one compilation per
+(batch, prompt_len, max_new_tokens) bucket.  Prompts must be **left-padded** so the
+last prompt position is aligned across the batch.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Any, Dict, NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from .config import ModelConfig
+from .decoder import init_kv_cache, positions_from_mask
+from .lvlm import LVLMBatch, encode_images, lvlm_forward
+
+NEG = -1.0e9
+
+
+class GenerateResult(NamedTuple):
+    tokens: jnp.ndarray  # [B, max_new_tokens], pad-filled after EOS
+    scores: jnp.ndarray  # [B] sequence scores (beam) or 0.0 (greedy)
+
+
+def _prefill(params, cfg, batch: LVLMBatch, total_len: int, shift, logz2, dtype):
+    """Run the prompt through the model, returning (last_logits, cache, state)."""
+    B, T = batch.input_ids.shape
+    cache = init_kv_cache(cfg.text, B, total_len, dtype)
+    image_feats = None
+    if batch.pixel_values is not None:
+        image_feats = encode_images(params, cfg, batch.pixel_values)
+    out = lvlm_forward(
+        params, cfg, batch,
+        image_feats=image_feats,
+        kv_cache=cache,
+        kv_total_len=total_len,
+        shift=shift,
+        logz2=logz2,
+    )
+    last_logits = out.logits[:, -1]  # left padding → last position is the prompt end
+    return last_logits, out.decoder.kv_cache, image_feats
+
+
+def _decode_mask_row(attn_mask_full: jnp.ndarray) -> jnp.ndarray:
+    return attn_mask_full[:, None, None, :].astype(bool)
+
+
+@partial(
+    jax.jit,
+    static_argnames=(
+        "cfg", "max_new_tokens", "eos_token_id", "pad_token_id", "logz2",
+    ),
+)
+def greedy_generate(
+    params,
+    cfg: ModelConfig,
+    batch: LVLMBatch,
+    max_new_tokens: int,
+    eos_token_id: int,
+    pad_token_id: int,
+    shift: Optional[Dict[str, jnp.ndarray]] = None,
+    logz2: str = "unmasked",
+) -> GenerateResult:
+    B, T = batch.input_ids.shape
+    total = T + max_new_tokens
+    dtype = jax.tree.leaves(params)[0].dtype
+    last_logits, cache, image_feats = _prefill(
+        params, cfg, batch, total, shift, logz2, dtype
+    )
+
+    n_real = jnp.sum(batch.attention_mask, axis=-1)  # [B]
+    mask_full = jnp.concatenate(
+        [batch.attention_mask, jnp.zeros((B, max_new_tokens), batch.attention_mask.dtype)],
+        axis=-1,
+    )
+    # idefics1: generated tokens keep attending to the image of the last prompt token
+    last_img_row = None
+    if batch.image_attention_mask is not None:
+        last_img_row = batch.image_attention_mask[:, -1:, :]  # [B,1,N]
+
+    first_tok = jnp.argmax(last_logits, axis=-1).astype(jnp.int32)  # [B]
+
+    def step(carry, i):
+        tok, cache, mask_full, finished = carry
+        tok = jnp.where(finished, pad_token_id, tok)
+        mask_full = mask_full.at[:, T + i].set(1)
+        step_batch = LVLMBatch(
+            input_ids=tok[:, None],
+            attention_mask=mask_full,
+            pixel_values=batch.pixel_values,
+            pixel_mask=batch.pixel_mask,
+            image_attention_mask=last_img_row,
+        )
+        out = lvlm_forward(
+            params, cfg, step_batch,
+            image_feats=image_feats,
+            position_ids=(n_real + i)[:, None],
+            kv_cache=cache,
+            kv_total_len=total,
+            shift=shift,
+            logz2=logz2,
+        )
+        finished = finished | (tok == eos_token_id)
+        next_tok = jnp.argmax(out.logits[:, -1], axis=-1).astype(jnp.int32)
+        next_tok = jnp.where(finished, pad_token_id, next_tok)
+        return (next_tok, out.decoder.kv_cache, mask_full, finished), tok
+
+    init = (first_tok, cache, mask_full, jnp.zeros((B,), bool))
+    _, toks = jax.lax.scan(step, init, jnp.arange(max_new_tokens))
+    return GenerateResult(tokens=toks.T, scores=jnp.zeros((B,), jnp.float32))
+
+
+@partial(
+    jax.jit,
+    static_argnames=(
+        "cfg", "max_new_tokens", "num_beams", "eos_token_id", "pad_token_id", "logz2",
+    ),
+)
+def beam_generate(
+    params,
+    cfg: ModelConfig,
+    batch: LVLMBatch,
+    max_new_tokens: int,
+    num_beams: int,
+    eos_token_id: int,
+    pad_token_id: int,
+    length_penalty: float = 0.0,
+    shift: Optional[Dict[str, jnp.ndarray]] = None,
+    logz2: str = "unmasked",
+) -> GenerateResult:
+    """HF-semantics beam search (do_sample=False, early_stopping=False)."""
+    B, T = batch.input_ids.shape
+    K = num_beams
+    total = T + max_new_tokens
+    dtype = jax.tree.leaves(params)[0].dtype
+
+    last_logits, cache, image_feats = _prefill(
+        params, cfg, batch, total, shift, logz2, dtype
+    )  # logits [B,V], cache leaves [L,B,S,...]
+
+    V = last_logits.shape[-1]
+
+    def tile_beams(x, axis):
+        """[..., B, ...] → [..., B*K, ...] repeating each batch row K times."""
+        return jnp.repeat(x, K, axis=axis)
+
+    cache = {
+        "k": tile_beams(cache["k"], 1),
+        "v": tile_beams(cache["v"], 1),
+        "length": cache["length"],
+    }
+    if image_feats is not None:
+        image_feats = tile_beams(image_feats, 0)
+    pixel_values = tile_beams(batch.pixel_values, 0) if batch.pixel_values is not None else None
+    pixel_mask = tile_beams(batch.pixel_mask, 0) if batch.pixel_mask is not None else None
+    last_img_row = None
+    if batch.image_attention_mask is not None:
+        last_img_row = tile_beams(batch.image_attention_mask[:, -1:, :], 0)
+
+    n_real = tile_beams(jnp.sum(batch.attention_mask, axis=-1), 0)  # [B*K]
+    mask_full = tile_beams(
+        jnp.concatenate(
+            [batch.attention_mask, jnp.zeros((B, max_new_tokens), batch.attention_mask.dtype)],
+            axis=-1,
+        ),
+        0,
+    )  # [B*K, total]
+
+    logprobs0 = jax.nn.log_softmax(last_logits.astype(jnp.float32), axis=-1)  # [B,V]
+
+    # initial expansion: take top-K distinct first tokens per batch row
+    first_scores, first_toks = jax.lax.top_k(logprobs0, K)  # [B,K]
+
+    class _State(NamedTuple):
+        tokens: jnp.ndarray          # [B,K,max_new] generated so far (pad-filled)
+        last_tok: jnp.ndarray        # [B,K]
+        scores: jnp.ndarray          # [B,K] running sum logprob
+        lengths: jnp.ndarray         # [B,K] generated length incl. current last_tok
+        alive: jnp.ndarray           # [B,K] still running
+        fin_tokens: jnp.ndarray      # [B,K,max_new]
+        fin_scores: jnp.ndarray      # [B,K] (already length-penalized)
+        cache: Any
+        mask_full: jnp.ndarray
+
+    tokens0 = jnp.full((B, K, max_new_tokens), pad_token_id, jnp.int32)
+    state = _State(
+        tokens=tokens0.at[:, :, 0].set(first_toks),
+        last_tok=first_toks.astype(jnp.int32),
+        scores=first_scores,
+        lengths=jnp.ones((B, K), jnp.int32),
+        alive=jnp.ones((B, K), bool),
+        fin_tokens=tokens0,
+        fin_scores=jnp.full((B, K), NEG, jnp.float32),
+        cache=cache,
+        mask_full=mask_full,
+    )
+
+    def finalize_eos(state: _State, step_idx):
+        """Move beams whose last token is EOS into the finished set."""
+        is_eos = state.alive & (state.last_tok == eos_token_id)
+        # penalized score of finishing now (HF: score / len**penalty; len counts
+        # generated tokens including EOS)
+        pen = state.scores / (state.lengths.astype(jnp.float32) ** length_penalty)
+        cand_scores = jnp.where(is_eos, pen, NEG)
+        # tokens of the finishing beam, with the EOS stripped to pad?  HF keeps EOS
+        # in the sequence; decode strips special tokens anyway.
+        all_fin_scores = jnp.concatenate([state.fin_scores, cand_scores], axis=1)  # [B,2K]
+        all_fin_tokens = jnp.concatenate([state.fin_tokens, state.tokens], axis=1)
+        top_scores, top_idx = jax.lax.top_k(all_fin_scores, K)
+        fin_tokens = jnp.take_along_axis(all_fin_tokens, top_idx[..., None], axis=1)
+        return state._replace(
+            fin_tokens=fin_tokens,
+            fin_scores=top_scores,
+            alive=state.alive & ~is_eos,
+            scores=jnp.where(is_eos, NEG, state.scores),
+        )
+
+    state = finalize_eos(state, 0)
+
+    def step(state: _State, i):
+        # i: index of the position being generated this step (1..max_new-1)
+        mask_full = state.mask_full.at[:, T + i - 1].set(1)
+        flat_tok = state.last_tok.reshape(B * K)
+        step_batch = LVLMBatch(
+            input_ids=flat_tok[:, None],
+            attention_mask=mask_full,
+            pixel_values=pixel_values,
+            pixel_mask=pixel_mask,
+            image_attention_mask=last_img_row,
+        )
+        out = lvlm_forward(
+            params, cfg, step_batch,
+            image_feats=image_feats,
+            position_ids=(n_real + i - 1)[:, None],
+            kv_cache=state.cache,
+            kv_total_len=total,
+            shift=shift,
+            logz2=logz2,
+        )
+        logprobs = jax.nn.log_softmax(
+            out.logits[:, -1].astype(jnp.float32), axis=-1
+        ).reshape(B, K, V)
+        cand = jnp.where(
+            state.alive[..., None], state.scores[..., None] + logprobs, NEG
+        )  # [B,K,V]
+        flat_cand = cand.reshape(B, K * V)
+        top_scores, top_flat = jax.lax.top_k(flat_cand, 2 * K)  # [B,2K]
+        parent = top_flat // V  # [B,2K]
+        tok = (top_flat % V).astype(jnp.int32)
+
+        # prefer non-EOS continuations for the K running beams (HF takes the top K
+        # non-EOS among 2K candidates)
+        is_eos_cand = tok == eos_token_id
+        rank_key = jnp.where(is_eos_cand, NEG, top_scores)
+        _, keep_idx = jax.lax.top_k(rank_key, K)  # indices into 2K
+        run_parent = jnp.take_along_axis(parent, keep_idx, axis=1)  # [B,K]
+        run_tok = jnp.take_along_axis(tok, keep_idx, axis=1)
+        run_scores = jnp.take_along_axis(top_scores, keep_idx, axis=1)
+        run_alive = run_scores > NEG / 2
+
+        # EOS candidates finish directly (their sequence = parent's tokens + EOS)
+        eos_scores_raw = jnp.where(is_eos_cand, top_scores, NEG)  # [B,2K]
+        parent_tokens = jnp.take_along_axis(
+            state.tokens, parent[..., None], axis=1
+        )  # [B,2K,max_new]
+        eos_tokens = parent_tokens.at[:, :, i].set(eos_token_id)
+        eos_len = jnp.take_along_axis(state.lengths, parent, axis=1) + 1
+        eos_pen = eos_scores_raw / (eos_len.astype(jnp.float32) ** length_penalty)
+        eos_pen = jnp.where(is_eos_cand, eos_pen, NEG)
+        all_fin_scores = jnp.concatenate([state.fin_scores, eos_pen], axis=1)
+        all_fin_tokens = jnp.concatenate([state.fin_tokens, eos_tokens], axis=1)
+        fin_scores, fin_idx = jax.lax.top_k(all_fin_scores, K)
+        fin_tokens = jnp.take_along_axis(all_fin_tokens, fin_idx[..., None], axis=1)
+
+        # reorder running state by parent beam
+        gather_beam = lambda x: jnp.take_along_axis(x, run_parent, axis=1)
+        new_tokens = jnp.take_along_axis(
+            state.tokens, run_parent[..., None], axis=1
+        ).at[:, :, i].set(run_tok)
+        flat_parent = (
+            jnp.arange(B)[:, None] * K + run_parent
+        ).reshape(B * K)  # [B*K] into B*K rows
+        new_cache = {
+            "k": jnp.take(out.decoder.kv_cache["k"], flat_parent, axis=1),
+            "v": jnp.take(out.decoder.kv_cache["v"], flat_parent, axis=1),
+            "length": out.decoder.kv_cache["length"],
+        }
+        new_state = _State(
+            tokens=new_tokens,
+            last_tok=run_tok,
+            scores=jnp.where(run_alive, run_scores, NEG),
+            lengths=gather_beam(state.lengths) + 1,
+            alive=run_alive,
+            fin_tokens=fin_tokens,
+            fin_scores=fin_scores,
+            cache=new_cache,
+            mask_full=mask_full,
+        )
+        return new_state, None
+
+    state, _ = jax.lax.scan(step, state, jnp.arange(1, max_new_tokens))
+
+    # close out still-running beams at max length (HF adds them when no finished
+    # hypothesis exists or scores beat finished ones)
+    run_pen = state.scores / (state.lengths.astype(jnp.float32) ** length_penalty)
+    run_pen = jnp.where(state.alive, run_pen, NEG)
+    all_scores = jnp.concatenate([state.fin_scores, run_pen], axis=1)
+    all_tokens = jnp.concatenate([state.fin_tokens, state.tokens], axis=1)
+    best_scores, best_idx = jax.lax.top_k(all_scores, 1)
+    best_tokens = jnp.take_along_axis(all_tokens, best_idx[..., None], axis=1)[:, 0]
+    return GenerateResult(tokens=best_tokens, scores=best_scores[:, 0])

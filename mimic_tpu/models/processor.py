@@ -1,0 +1,167 @@
+"""Input processing: text+images → fixed-shape model batches.
+
+Replaces the HF processors the reference relies on
+(``testbed/models/model_base.py:337-381``): prompt strings containing ``<image>``
+markers are expanded into image-token runs, tokenized, padded, and paired with
+preprocessed pixel arrays.
+
+Static-shape discipline (TPU): callers may pass ``pad_to``/``max_images`` so every
+batch in a run compiles once; the processor never emits data-dependent shapes when
+these are set.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Any, Dict, List, Optional, Sequence, Union
+
+import numpy as np
+
+from .config import ModelConfig
+from .tokenizer import SpecialTokens
+
+CLIP_MEAN = (0.48145466, 0.4578275, 0.40821073)
+CLIP_STD = (0.26862954, 0.26130258, 0.27577711)
+SIGLIP_MEAN = (0.5, 0.5, 0.5)
+SIGLIP_STD = (0.5, 0.5, 0.5)
+
+
+@dataclass
+class ImageProcessor:
+    """Resize + rescale + normalize → [H, W, 3] float32 arrays."""
+
+    size: int
+    mean: Sequence[float] = SIGLIP_MEAN
+    std: Sequence[float] = SIGLIP_STD
+
+    def __call__(self, image) -> np.ndarray:
+        arr = self._to_array(image)
+        arr = self._resize(arr, self.size, self.size)
+        arr = arr.astype(np.float32) / 255.0
+        mean = np.asarray(self.mean, np.float32)
+        std = np.asarray(self.std, np.float32)
+        return (arr - mean) / std
+
+    @staticmethod
+    def _to_array(image) -> np.ndarray:
+        if isinstance(image, np.ndarray):
+            arr = image
+        else:  # PIL image
+            image = image.convert("RGB")
+            arr = np.asarray(image)
+        if arr.ndim == 2:
+            arr = np.stack([arr] * 3, axis=-1)
+        if arr.shape[-1] == 4:
+            arr = arr[..., :3]
+        if arr.dtype != np.uint8:
+            arr = np.clip(arr, 0, 255).astype(np.uint8)
+        return arr
+
+    @staticmethod
+    def _resize(arr: np.ndarray, h: int, w: int) -> np.ndarray:
+        """Bilinear resize without external deps (PIL used when available)."""
+        if arr.shape[0] == h and arr.shape[1] == w:
+            return arr
+        try:
+            from PIL import Image
+
+            return np.asarray(Image.fromarray(arr).resize((w, h), Image.BILINEAR))
+        except ImportError:  # pragma: no cover
+            ys = np.linspace(0, arr.shape[0] - 1, h)
+            xs = np.linspace(0, arr.shape[1] - 1, w)
+            return arr[ys.astype(int)][:, xs.astype(int)]
+
+
+class LVLMProcessor:
+    """Tokenize prompts (expanding ``<image>`` markers) and preprocess images.
+
+    Expansion by family:
+    - idefics2: ``<image>`` → ``<fake><image>*n<fake>`` with adjacent runs merged
+      (HF Idefics2Processor behavior)
+    - llava-interleave: ``<image>`` → ``<image>*n``
+    - idefics1: ``<image>`` → ``<fake><image><fake>`` (single token; vision enters
+      through cross-attention, and the processor also emits image_attention_mask)
+    """
+
+    def __init__(self, cfg: ModelConfig, tokenizer, image_size: Optional[int] = None):
+        self.cfg = cfg
+        self.tokenizer = tokenizer
+        size = image_size or (cfg.vision.image_size if cfg.vision else 224)
+        mean, std = (
+            (CLIP_MEAN, CLIP_STD) if cfg.family == "idefics1" else (SIGLIP_MEAN, SIGLIP_STD)
+        )
+        self.image_processor = ImageProcessor(size=size, mean=mean, std=std)
+
+    # -- text ---------------------------------------------------------------
+
+    def expand_image_tokens(self, text: str) -> str:
+        img = SpecialTokens.IMAGE
+        fake = SpecialTokens.FAKE_IMAGE
+        if self.cfg.family == "llava-interleave":
+            return text.replace(img, img * self.cfg.image_seq_len)
+        n = self.cfg.image_seq_len if self.cfg.family == "idefics2" else 1
+        expanded = text.replace(img, fake + img * n + fake)
+        # adjacent images share one fake token (HF idefics behavior)
+        return expanded.replace(fake + fake, fake)
+
+    def __call__(
+        self,
+        images: Optional[List[List[Any]]],
+        text: Union[str, List[str]],
+        pad_to: Optional[int] = None,
+        max_images: Optional[int] = None,
+    ) -> Dict[str, np.ndarray]:
+        if isinstance(text, str):
+            text = [text]
+            images = [images] if images is not None else None
+        batch_ids = [
+            self.tokenizer.encode(self.expand_image_tokens(t), add_bos=True) for t in text
+        ]
+        input_ids, attention_mask = self.tokenizer.pad_batch(batch_ids, pad_to=pad_to)
+        out: Dict[str, np.ndarray] = {
+            "input_ids": input_ids,
+            "attention_mask": attention_mask,
+        }
+        if images is not None and any(len(i) for i in images):
+            out["pixel_values"], out["pixel_mask"] = self._process_images(
+                images, max_images
+            )
+            if self.cfg.family == "idefics1":
+                out["image_attention_mask"] = self._image_attention_mask(
+                    input_ids, out["pixel_values"].shape[1]
+                )
+        return out
+
+    # -- images -------------------------------------------------------------
+
+    def _process_images(self, batch_images: List[List[Any]], max_images: Optional[int]):
+        n_max = max(len(imgs) for imgs in batch_images)
+        if max_images is not None:
+            if n_max > max_images:
+                raise ValueError(f"{n_max} images exceed max_images={max_images}")
+            n_max = max_images
+        n_max = max(n_max, 1)
+        size = self.image_processor.size
+        B = len(batch_images)
+        pixels = np.zeros((B, n_max, size, size, 3), np.float32)
+        mask = np.zeros((B, n_max), np.int32)
+        for b, imgs in enumerate(batch_images):
+            for i, img in enumerate(imgs):
+                pixels[b, i] = self.image_processor(img)
+                mask[b, i] = 1
+        return pixels, mask
+
+    def _image_attention_mask(self, input_ids: np.ndarray, n_images: int) -> np.ndarray:
+        """[B,T,n_images]: each text token attends to the nearest *preceding* image
+        (Flamingo/IDEFICS semantics)."""
+        img_id = self.tokenizer.image_token_id
+        B, T = input_ids.shape
+        mask = np.zeros((B, T, n_images), np.int32)
+        for b in range(B):
+            current = -1
+            for t in range(T):
+                if input_ids[b, t] == img_id:
+                    current += 1
+                if 0 <= current < n_images:
+                    mask[b, t, current] = 1
+        return mask

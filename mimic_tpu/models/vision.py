@@ -36,7 +36,7 @@ def _dense(key, shape, dtype, scale=0.02):
 def init_vit_params(cfg: VisionConfig, key: jax.Array, dtype=jnp.float32) -> Params:
     D, F, L = cfg.hidden_size, cfg.intermediate_size, cfg.num_layers
     p = cfg.patch_size
-    keys = iter(jax.random.split(key, 8))
+    keys = iter(jax.random.split(key, 12))
     n_pos = cfg.num_patches
     params: Params = {
         "patch_embed": {
