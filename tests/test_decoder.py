@@ -165,7 +165,7 @@ class TestCrossAttn:
         ids = jnp.array([[5, 6, 7, 8]])
         mask = jnp.ones((1, 4), jnp.int32)
         cross_states = jnp.asarray(
-            np.random.default_rng(0).normal(size=(1, 6, cfg.hidden_size)), jnp.float32
+            np.random.default_rng(0).normal(size=(1, 6, cfg.cross_kv_dim)), jnp.float32
         )
         base = lm_forward(params, cfg, ids, attn_mask=make_causal_mask(mask)).logits
         with_img = lm_forward(
