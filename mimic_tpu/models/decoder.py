@@ -127,7 +127,15 @@ def init_kv_cache(
 # ---------------------------------------------------------------------------
 
 
-def _project_qkv(lp: Params, x: jnp.ndarray, cfg: TextConfig):
+def _lora_delta(ad: Params, name: str, x: jnp.ndarray, scaling) -> Optional[jnp.ndarray]:
+    """LoRA low-rank delta: scaling · (x A) B for one projection, or None."""
+    a, b = ad.get(f"{name}_a"), ad.get(f"{name}_b")
+    if a is None:
+        return None
+    return scaling * jnp.dot(jnp.dot(x, a), b)
+
+
+def _project_qkv(lp: Params, ad: Params, x: jnp.ndarray, cfg: TextConfig, scaling):
     B, T, _ = x.shape
     H, Hkv, Dh = cfg.num_heads, cfg.num_kv_heads, cfg.head_size
     q = jnp.dot(x, lp["q_proj"])
@@ -137,6 +145,15 @@ def _project_qkv(lp: Params, x: jnp.ndarray, cfg: TextConfig):
         q = q + lp["q_bias"]
         k = k + lp["k_bias"]
         v = v + lp["v_bias"]
+    dq = _lora_delta(ad, "q", x, scaling)
+    dk = _lora_delta(ad, "k", x, scaling)
+    dv = _lora_delta(ad, "v", x, scaling)
+    if dq is not None:
+        q = q + dq
+    if dk is not None:
+        k = k + dk
+    if dv is not None:
+        v = v + dv
     return (
         q.reshape(B, T, H, Dh),
         k.reshape(B, T, Hkv, Dh),
@@ -147,6 +164,7 @@ def _project_qkv(lp: Params, x: jnp.ndarray, cfg: TextConfig):
 def _self_attention(
     lp: Params,
     ls: Params,
+    ad: Params,
     x: jnp.ndarray,
     cos: jnp.ndarray,
     sin: jnp.ndarray,
@@ -157,10 +175,11 @@ def _self_attention(
     cache_len,
     multi_head: bool,
     logz2: str,
+    lora_scaling,
 ) -> Tuple[jnp.ndarray, Optional[jnp.ndarray], Optional[jnp.ndarray]]:
     """Returns (attn block output [B,T,D], new_cache_k, new_cache_v)."""
     B, T, _ = x.shape
-    q, k, v = _project_qkv(lp, x, cfg)
+    q, k, v = _project_qkv(lp, ad, x, cfg, lora_scaling)
     q, k = apply_rope(q, k, cos, sin)
     if cfg.qk_layernorm:
         q = rms_norm(q, lp["q_ln"], cfg.norm_eps)
@@ -182,7 +201,11 @@ def _self_attention(
         log_z2 = lse if logz2 == "masked" else unmasked_lse(q, k_rep)
         attn = apply_attn_shift(ls, q, log_z2, attn, multi_head)
 
-    out = jnp.dot(attn.reshape(B, T, -1), lp["o_proj"])
+    attn_flat = attn.reshape(B, T, -1)
+    out = jnp.dot(attn_flat, lp["o_proj"])
+    do = _lora_delta(ad, "o", attn_flat, lora_scaling)
+    if do is not None:
+        out = out + do
     return out, cache_k, cache_v
 
 
@@ -222,6 +245,8 @@ def decoder_forward(
     position_ids: jnp.ndarray,
     *,
     shift: Optional[Params] = None,
+    adapters: Optional[Params] = None,
+    lora_scaling: float = 1.0,
     multi_head: bool = True,
     capture_attn: bool = False,
     capture_ffn: bool = False,
@@ -249,11 +274,12 @@ def decoder_forward(
     cache_len = kv_cache["length"] if use_cache else jnp.zeros((), jnp.int32)
 
     def layer_step(h, xs):
-        lp, ls, os_, ck, cv = xs
+        lp, ls, os_, ad, ck, cv = xs
         residual = h
         hn = rms_norm(h, lp["input_ln"], cfg.norm_eps)
         attn_out, ck, cv = _self_attention(
-            lp, ls, hn, cos, sin, attn_mask, cfg, ck, cv, cache_len, multi_head, logz2
+            lp, ls, ad, hn, cos, sin, attn_mask, cfg, ck, cv, cache_len,
+            multi_head, logz2, lora_scaling,
         )
         attn_out = apply_output_shift(
             attn_out, os_.get("attn_out_shift"), os_.get("attn_out_scale")
@@ -277,8 +303,9 @@ def decoder_forward(
     layers = params["layers"]
     ls_stack = layer_shift if layer_shift else None
     os_stack = out_shift if out_shift else None
+    ad_stack = adapters if adapters else None
 
-    def scan_layers(h, lp_stack, ls, os_, ck, cv):
+    def scan_layers(h, lp_stack, ls, os_, ad, ck, cv):
         """Scan over a stack of self-attn layers; returns (h, ys_stacked).
 
         Absent optional inputs (shift pytrees, caches) are replaced by tiny dummy
@@ -287,23 +314,25 @@ def decoder_forward(
         """
         n = jax.tree.leaves(lp_stack)[0].shape[0]
         dummy = jnp.zeros((n, 1))
-        has_ls, has_os = ls is not None, os_ is not None
+        has_ls, has_os, has_ad = ls is not None, os_ is not None, ad is not None
         xs = (
             lp_stack,
             ls if has_ls else dummy,
             os_ if has_os else dummy,
+            ad if has_ad else dummy,
             ck if use_cache else dummy,
             cv if use_cache else dummy,
         )
 
         def step(h, xs_):
-            lp, ls_, os__, ck_, cv_ = xs_
+            lp, ls_, os__, ad_, ck_, cv_ = xs_
             return layer_step(
                 h,
                 (
                     lp,
                     ls_ if has_ls else {},
                     os__ if has_os else {},
+                    ad_ if has_ad else {},
                     ck_ if use_cache else None,
                     cv_ if use_cache else None,
                 ),
@@ -331,13 +360,14 @@ def decoder_forward(
                 sl(layers),
                 sl(ls_stack) if ls_stack else None,
                 sl(os_stack) if os_stack else None,
+                sl(ad_stack) if ad_stack else None,
                 ck_stack[lo:hi] if use_cache else None,
                 cv_stack[lo:hi] if use_cache else None,
             )
             ys_groups.append(ys)
         ys = jax.tree.map(lambda *a: jnp.concatenate(a, axis=0), *ys_groups)
     else:
-        h, ys = scan_layers(h, layers, ls_stack, os_stack, ck_stack, cv_stack)
+        h, ys = scan_layers(h, layers, ls_stack, os_stack, ad_stack, ck_stack, cv_stack)
 
     h = rms_norm(h, params["final_ln"], cfg.norm_eps)
 

@@ -1,0 +1,178 @@
+"""The jitted dual-pass training step.
+
+The reference runs: record pass (frozen model + forward hooks, no grad,
+``src/shift_model.py:224-234``) then shift pass (patched attention,
+``:236-243``) then loss assembly (``:246-283``), under Lightning/DeepSpeed.
+Here the whole thing — both forwards, masked losses, grad of the tiny trainable
+pytree, optimizer update — is ONE compiled XLA program per batch shape.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Any, Dict, NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from ..config import EncoderConfig, Strategy
+from ..models.config import ModelConfig
+from ..models.lvlm import LVLMBatch, lvlm_forward
+from ..shift.params import multi_head, needs_attn_capture, needs_ffn_capture
+from .collate import TrainBatch
+from .losses import layer_wise_cos, layer_wise_mse, lm_cross_entropy, logits_kl
+
+
+def _to_device_batch(tb: TrainBatch) -> Dict[str, Any]:
+    """numpy TrainBatch → dict of jnp arrays (only non-None leaves)."""
+    out = {}
+    for k, v in vars(tb).items():
+        if v is not None:
+            out[k] = jnp.asarray(v)
+    return out
+
+
+def _query_lvlm_batch(b: Dict[str, Any]) -> LVLMBatch:
+    return LVLMBatch(
+        input_ids=b["query_ids"],
+        attention_mask=b["query_mask"],
+        pixel_values=b.get("query_pixels"),
+        pixel_mask=b.get("query_pixel_mask"),
+        image_attention_mask=b.get("query_img_attn"),
+    )
+
+
+def _full_lvlm_batch(b: Dict[str, Any]) -> LVLMBatch:
+    return LVLMBatch(
+        input_ids=b["full_ids"],
+        attention_mask=b["full_mask"],
+        pixel_values=b.get("full_pixels"),
+        pixel_mask=b.get("full_pixel_mask"),
+        image_attention_mask=b.get("full_img_attn"),
+    )
+
+
+def compute_loss(
+    trainable: Dict[str, Any],
+    frozen: Dict[str, Any],
+    batch: Dict[str, Any],
+    *,
+    cfg: ModelConfig,
+    strategy: Strategy,
+    rec_attn: bool,
+    rec_ffn: bool,
+    mh: bool,
+    ce_loss_weight: float,
+    align_loss_weight: float,
+    lora_scaling: float,
+    logz2: str,
+) -> Tuple[jnp.ndarray, Dict[str, jnp.ndarray]]:
+    shift = trainable.get("shift") or None
+    lora = trainable.get("lora") or None
+    loss = jnp.zeros((), jnp.float32)
+    metrics: Dict[str, jnp.ndarray] = {}
+
+    need_prefix = strategy != Strategy.LM_LOSS
+    prefix_logits = prefix_attn = prefix_ffn = None
+    if need_prefix:
+        # record pass: frozen weights, adapters disabled (reference
+        # ``disable_adapter()``, :225), gradients cannot flow (no trainable inputs)
+        out1 = lvlm_forward(
+            frozen, cfg, _full_lvlm_batch(batch),
+            capture_attn=rec_attn, capture_ffn=rec_ffn, logz2=logz2,
+        )
+        prefix_logits = jax.lax.stop_gradient(out1.logits)
+        prefix_attn = jax.lax.stop_gradient(out1.decoder.attn_capture) if rec_attn else None
+        prefix_ffn = jax.lax.stop_gradient(out1.decoder.ffn_capture) if rec_ffn else None
+
+    out2 = lvlm_forward(
+        frozen, cfg, _query_lvlm_batch(batch),
+        shift=shift, adapters=lora, lora_scaling=lora_scaling,
+        multi_head=mh, capture_attn=rec_attn, capture_ffn=rec_ffn, logz2=logz2,
+    )
+
+    if Strategy.LM_LOSS in strategy:
+        ce = lm_cross_entropy(out2.logits, batch["query_ids"], batch["query_mask"])
+        metrics["ce_loss"] = ce
+        w = 1.0 if strategy == Strategy.LM_LOSS else ce_loss_weight
+        loss = loss + w * ce
+
+    if strategy.has_layer_wise():
+        loss_fn = (
+            layer_wise_mse if Strategy.LAYER_WISE_MSE in strategy else layer_wise_cos
+        )
+        suffix = "mse_loss" if Strategy.LAYER_WISE_MSE in strategy else "cos_sim"
+        align = jnp.zeros((), jnp.float32)
+        for name, shift_cap, prefix_cap in (
+            ("attn", out2.decoder.attn_capture, prefix_attn),
+            ("ffn", out2.decoder.ffn_capture, prefix_ffn),
+        ):
+            if shift_cap is None or prefix_cap is None:
+                continue
+            part = loss_fn(
+                shift_cap, prefix_cap,
+                batch["shift_q_idx"], batch["prefix_q_idx"], batch["q_valid"],
+            )
+            metrics[f"{name}_{suffix}"] = part
+            align = align + part
+        loss = loss + align_loss_weight * align
+
+    if Strategy.LOGITS_KL_DIV in strategy:
+        kl = logits_kl(
+            out2.logits, prefix_logits,
+            batch["query_ans_idx"], batch["prefix_ans_idx"], batch["ans_valid"],
+        )
+        metrics["logits_kl_loss"] = kl
+        loss = loss + align_loss_weight * kl
+
+    metrics["loss"] = loss
+    return loss, metrics
+
+
+class TrainState(NamedTuple):
+    trainable: Dict[str, Any]
+    opt_state: Any
+    step: jnp.ndarray
+
+
+def make_train_step(
+    cfg: ModelConfig,
+    encoder_cfg: EncoderConfig,
+    optimizer: optax.GradientTransformation,
+    *,
+    ce_loss_weight: float,
+    align_loss_weight: float,
+    lora_scaling: float = 1.0,
+    logz2: str = "unmasked",
+    accumulate_steps: int = 1,
+    donate: bool = True,
+):
+    """Build the jitted (state, frozen, batch) → (state, metrics) step.
+
+    Gradient accumulation uses ``optax.MultiSteps`` semantics via the wrapped
+    optimizer — pass the already-wrapped optimizer when ``accumulate_steps > 1``.
+    """
+    strategy = encoder_cfg.strategy()
+    loss_kwargs = dict(
+        cfg=cfg,
+        strategy=strategy,
+        rec_attn=needs_attn_capture(encoder_cfg),
+        rec_ffn=needs_ffn_capture(encoder_cfg),
+        mh=multi_head(encoder_cfg),
+        ce_loss_weight=ce_loss_weight,
+        align_loss_weight=align_loss_weight,
+        lora_scaling=lora_scaling,
+        logz2=logz2,
+    )
+
+    def step_fn(state: TrainState, frozen, batch):
+        (loss, metrics), grads = jax.value_and_grad(
+            lambda t: compute_loss(t, frozen, batch, **loss_kwargs), has_aux=True
+        )(state.trainable)
+        updates, opt_state = optimizer.update(grads, state.opt_state, state.trainable)
+        trainable = optax.apply_updates(state.trainable, updates)
+        metrics["grad_norm"] = optax.global_norm(grads)
+        return TrainState(trainable, opt_state, state.step + 1), metrics
+
+    return jax.jit(step_fn, donate_argnums=(0,) if donate else ())
