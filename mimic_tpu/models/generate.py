@@ -29,7 +29,7 @@ class GenerateResult(NamedTuple):
     scores: jnp.ndarray  # [B] sequence scores (beam) or 0.0 (greedy)
 
 
-def _prefill(params, cfg, batch: LVLMBatch, total_len: int, shift, logz2, dtype):
+def _prefill(params, cfg, batch: LVLMBatch, total_len: int, shift, adapters, lora_scaling, logz2, dtype):
     """Run the prompt through the model, returning (last_logits, cache, state)."""
     B, T = batch.input_ids.shape
     cache = init_kv_cache(cfg.text, B, total_len, dtype)
@@ -42,6 +42,8 @@ def _prefill(params, cfg, batch: LVLMBatch, total_len: int, shift, logz2, dtype)
         kv_cache=cache,
         kv_total_len=total_len,
         shift=shift,
+        adapters=adapters,
+        lora_scaling=lora_scaling,
         logz2=logz2,
     )
     last_logits = out.logits[:, -1]  # left padding → last position is the prompt end
@@ -66,13 +68,15 @@ def greedy_generate(
     eos_token_id: int,
     pad_token_id: int,
     shift: Optional[Dict[str, jnp.ndarray]] = None,
+    adapters: Optional[Dict[str, jnp.ndarray]] = None,
+    lora_scaling: float = 1.0,
     logz2: str = "unmasked",
 ) -> GenerateResult:
     B, T = batch.input_ids.shape
     total = T + max_new_tokens
     dtype = jax.tree.leaves(params)[0].dtype
     last_logits, cache, image_feats = _prefill(
-        params, cfg, batch, total, shift, logz2, dtype
+        params, cfg, batch, total, shift, adapters, lora_scaling, logz2, dtype
     )
 
     n_real = jnp.sum(batch.attention_mask, axis=-1)  # [B]
@@ -105,6 +109,8 @@ def greedy_generate(
             kv_cache=cache,
             kv_total_len=total,
             shift=shift,
+            adapters=adapters,
+            lora_scaling=lora_scaling,
             logz2=logz2,
         )
         finished = finished | (tok == eos_token_id)
@@ -133,6 +139,8 @@ def beam_generate(
     pad_token_id: int,
     length_penalty: float = 0.0,
     shift: Optional[Dict[str, jnp.ndarray]] = None,
+    adapters: Optional[Dict[str, jnp.ndarray]] = None,
+    lora_scaling: float = 1.0,
     logz2: str = "unmasked",
 ) -> GenerateResult:
     """HF-semantics beam search (do_sample=False, early_stopping=False)."""
@@ -142,7 +150,7 @@ def beam_generate(
     dtype = jax.tree.leaves(params)[0].dtype
 
     last_logits, cache, image_feats = _prefill(
-        params, cfg, batch, total, shift, logz2, dtype
+        params, cfg, batch, total, shift, adapters, lora_scaling, logz2, dtype
     )  # logits [B,V], cache leaves [L,B,S,...]
 
     V = last_logits.shape[-1]
@@ -242,6 +250,8 @@ def beam_generate(
             kv_cache=state.cache,
             kv_total_len=total,
             shift=shift,
+            adapters=adapters,
+            lora_scaling=lora_scaling,
             logz2=logz2,
         )
         logprobs = jax.nn.log_softmax(

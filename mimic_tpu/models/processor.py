@@ -12,6 +12,7 @@ these are set.
 
 from __future__ import annotations
 
+import os
 from dataclasses import dataclass
 from typing import Any, Dict, List, Optional, Sequence, Union
 
@@ -44,6 +45,10 @@ class ImageProcessor:
 
     @staticmethod
     def _to_array(image) -> np.ndarray:
+        if isinstance(image, (str, os.PathLike)):
+            from PIL import Image
+
+            image = Image.open(image)
         if isinstance(image, np.ndarray):
             arr = image
         else:  # PIL image

