@@ -1,0 +1,115 @@
+"""Training entry — assembles a full run (reference ``src/train.py`` analog)."""
+
+from __future__ import annotations
+
+import os
+from typing import Any, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+
+from ..config import TrainConfig
+from ..data.adapters import build_adapter
+from ..models.factory import build_model
+from ..parallel import make_mesh, replicate, shard_batch, shard_params
+from ..shift.lora import init_lora_params
+from ..shift.params import init_shift_params
+from ..train import (
+    TrainCollator,
+    TrainState,
+    build_optimizer,
+    make_train_step,
+    train_loop,
+)
+from ..train.trainer import get_max_epochs
+
+
+def init_trainable(cfg: TrainConfig, text_cfg, key: jax.Array) -> Dict[str, Any]:
+    trainable: Dict[str, Any] = {}
+    if cfg.encoder.kind != "none":
+        trainable["shift"] = init_shift_params(cfg.encoder, text_cfg, key)
+    if cfg.peft.lora is not None:
+        trainable["lora"] = init_lora_params(cfg.peft.lora, text_cfg, jax.random.fold_in(key, 1))
+    if not trainable:
+        raise ValueError("Nothing to train: encoder kind 'none' and no LoRA config")
+    return trainable
+
+
+def run_train(
+    cfg: TrainConfig,
+    result_dir: str = "results",
+    runner=None,
+    splits=None,
+    use_mesh: bool = False,
+) -> TrainState:
+    runner = runner or build_model(cfg.model_name, cfg.data.name, dtype=jnp.bfloat16)
+    adapter = build_adapter(cfg.data, splits=splits)
+
+    trainable = init_trainable(cfg, runner.cfg.text, jax.random.PRNGKey(cfg.seed))
+
+    def apply_template(ctx):
+        return runner.apply_prompt_template(ctx)
+
+    dl = adapter.train_dataloader(apply_template, cfg.batch_size)
+    max_epochs = cfg.epochs or get_max_epochs(cfg.model_name, cfg.data.num_query_samples)
+    steps_per_epoch = max(len(dl) // max(cfg.accumulate_grad_batches, 1), 1)
+    total_steps = steps_per_epoch * max_epochs
+    warmup = (
+        int(cfg.warmup_step * total_steps)
+        if isinstance(cfg.warmup_step, float)
+        else int(cfg.warmup_step)
+    )
+
+    tx = build_optimizer(
+        trainable,
+        lr=cfg.peft.lr,
+        weight_decay=cfg.weight_decay,
+        warmup_steps=warmup,
+        total_steps=total_steps,
+        grad_clip=cfg.grad_clip_val,
+        scale_lr=cfg.peft.scale_lr,
+        accumulate_steps=cfg.accumulate_grad_batches,
+    )
+    lora_scaling = cfg.peft.lora.scaling() if cfg.peft.lora else 1.0
+    step = make_train_step(
+        runner.cfg, cfg.encoder, tx,
+        ce_loss_weight=cfg.peft.ce_loss_weight,
+        align_loss_weight=cfg.peft.align_loss_weight,
+        lora_scaling=lora_scaling,
+    )
+
+    collator = TrainCollator(
+        runner.processor, cfg.encoder.strategy(),
+        num_image_in_query=cfg.data.num_image_in_query,
+        max_query_len=cfg.data.max_query_len,
+        max_full_len=cfg.data.max_full_len,
+    )
+
+    frozen = runner.params
+    mesh = None
+    if use_mesh and len(jax.devices()) > 1:
+        mesh = make_mesh(n_data=-1, n_model=1)
+        frozen = shard_params(frozen, mesh)
+        trainable = replicate(trainable, mesh)
+
+    state = TrainState(trainable, tx.init(trainable), jnp.zeros((), jnp.int32))
+
+    def epoch_batches(epoch: int):
+        for string_batch in dl:
+            yield collator(string_batch)
+
+    ctx = mesh if mesh is not None else _nullcontext()
+    with ctx:
+        state = train_loop(
+            cfg, state, frozen, step, epoch_batches,
+            result_dir=result_dir, max_epochs=max_epochs,
+        )
+    return state
+
+
+class _nullcontext:
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *a):
+        return False
