@@ -176,6 +176,8 @@ def _self_attention(
     multi_head: bool,
     logz2: str,
     lora_scaling,
+    key_mask: Optional[jnp.ndarray] = None,
+    use_flash: bool = False,
 ) -> Tuple[jnp.ndarray, Optional[jnp.ndarray], Optional[jnp.ndarray]]:
     """Returns (attn block output [B,T,D], new_cache_k, new_cache_v)."""
     B, T, _ = x.shape
@@ -193,13 +195,23 @@ def _self_attention(
     else:
         k_all, v_all = k, v
 
-    k_rep = repeat_kv(k_all, cfg.num_groups)
-    v_rep = repeat_kv(v_all, cfg.num_groups)
-    attn, lse = sdpa_with_lse(q, k_rep, v_rep, mask)
+    if use_flash:
+        # Pallas fused path: causal + key-padding handled in-kernel; both the
+        # masked lse and the reference-parity unmasked logsumexp come out free
+        from ..ops.flash_attention import flash_attention
 
-    if ls:
-        log_z2 = lse if logz2 == "masked" else unmasked_lse(q, k_rep)
-        attn = apply_attn_shift(ls, q, log_z2, attn, multi_head)
+        attn, lse, lse_u = flash_attention(q, k_all, v_all, key_mask, causal=True)
+        if ls:
+            log_z2 = lse if logz2 == "masked" else lse_u
+            attn = apply_attn_shift(ls, q, log_z2, attn, multi_head)
+    else:
+        k_rep = repeat_kv(k_all, cfg.num_groups)
+        v_rep = repeat_kv(v_all, cfg.num_groups)
+        attn, lse = sdpa_with_lse(q, k_rep, v_rep, mask)
+
+        if ls:
+            log_z2 = lse if logz2 == "masked" else unmasked_lse(q, k_rep)
+            attn = apply_attn_shift(ls, q, log_z2, attn, multi_head)
 
     attn_flat = attn.reshape(B, T, -1)
     out = jnp.dot(attn_flat, lp["o_proj"])
@@ -254,12 +266,17 @@ def decoder_forward(
     cross_states: Optional[jnp.ndarray] = None,
     cross_mask: Optional[jnp.ndarray] = None,
     logz2: str = "unmasked",
+    key_mask: Optional[jnp.ndarray] = None,
+    attn_impl: str = "xla",
 ) -> DecoderOutput:
     """Run the decoder stack.
 
     attn_mask: [B,1,T,S] boolean (True = attend) over cached+current keys, or None.
     position_ids: [B,T] absolute positions for RoPE.
     shift: stacked shift pytree ([L, ...] leaves) or None.
+    attn_impl: "xla" or "flash" — the Pallas fused kernel is used when "flash" is
+    requested, there is no KV cache, a 2D ``key_mask`` is given, and shapes are
+    block-aligned (caller guarantees the mask is causal+key-padding form).
     """
     B, T, D = input_embeds.shape
     cos, sin = rope_cos_sin(position_ids, cfg.head_size, cfg.rope_theta, input_embeds.dtype)
@@ -272,6 +289,13 @@ def decoder_forward(
 
     use_cache = kv_cache is not None
     cache_len = kv_cache["length"] if use_cache else jnp.zeros((), jnp.int32)
+    use_flash = (
+        attn_impl == "flash"
+        and not use_cache
+        and key_mask is not None
+        and T % 128 == 0
+        and cfg.head_size % 128 == 0
+    )
 
     def layer_step(h, xs):
         lp, ls, os_, ad, ck, cv = xs
@@ -279,7 +303,7 @@ def decoder_forward(
         hn = rms_norm(h, lp["input_ln"], cfg.norm_eps)
         attn_out, ck, cv = _self_attention(
             lp, ls, ad, hn, cos, sin, attn_mask, cfg, ck, cv, cache_len,
-            multi_head, logz2, lora_scaling,
+            multi_head, logz2, lora_scaling, key_mask=key_mask, use_flash=use_flash,
         )
         attn_out = apply_output_shift(
             attn_out, os_.get("attn_out_shift"), os_.get("attn_out_scale")

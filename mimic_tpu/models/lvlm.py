@@ -152,6 +152,8 @@ def lvlm_forward(
             mask4 = mask4 & jnp.concatenate([causal, future], axis=-1)[None, None]
     else:
         mask4 = make_causal_mask(batch.attention_mask)
+        # flash-eligible: mask is exactly causal + key padding
+        decoder_kwargs.setdefault("key_mask", batch.attention_mask)
 
     if position_ids is None:
         position_ids = positions_from_mask(batch.attention_mask)

@@ -1,0 +1,67 @@
+"""Flash-attention kernel vs the jnp reference path (interpret mode on CPU)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from mimic_tpu.models.layers import repeat_kv, sdpa_with_lse, unmasked_lse
+from mimic_tpu.ops.flash_attention import flash_attention
+
+
+def make_qkv(B=2, T=128, S=128, H=4, Hkv=2, D=32, seed=0):
+    rng = np.random.default_rng(seed)
+    q = jnp.asarray(rng.normal(size=(B, T, H, D)).astype(np.float32))
+    k = jnp.asarray(rng.normal(size=(B, S, Hkv, D)).astype(np.float32))
+    v = jnp.asarray(rng.normal(size=(B, S, Hkv, D)).astype(np.float32))
+    key_mask = np.ones((B, S), np.int32)
+    key_mask[0, 100:] = 0          # suffix padding
+    key_mask[1, 40:44] = 0         # internal PAD separator
+    return q, k, v, jnp.asarray(key_mask)
+
+
+def reference(q, k, v, key_mask, causal):
+    B, T, H, D = q.shape
+    S = k.shape[1]
+    k_rep = repeat_kv(k, H // k.shape[2])
+    v_rep = repeat_kv(v, H // k.shape[2])
+    mask = key_mask[:, None, None, :].astype(bool)
+    if causal:
+        mask = mask & jnp.tril(jnp.ones((T, S), bool))[None, None]
+    out, lse = sdpa_with_lse(q, k_rep, v_rep, mask)
+    lse_u = unmasked_lse(q, k_rep)
+    return out, lse, lse_u
+
+
+@pytest.mark.parametrize("causal", [True, False])
+def test_matches_reference(causal):
+    q, k, v, key_mask = make_qkv()
+    out, lse, lse_u = flash_attention(
+        q, k, v, key_mask, causal=causal, block_q=64, block_k=64, interpret=True
+    )
+    ref_out, ref_lse, ref_lse_u = reference(q, k, v, key_mask, causal)
+    # fully-masked rows (row 0 with causal+pad edge cases) produce garbage in both
+    # implementations; compare where the masked lse is finite
+    valid = np.asarray(ref_lse) > -1e29
+    np.testing.assert_allclose(
+        np.asarray(out)[valid.any(-1)], np.asarray(ref_out)[valid.any(-1)],
+        rtol=2e-5, atol=2e-5,
+    )
+    np.testing.assert_allclose(np.asarray(lse)[valid], np.asarray(ref_lse)[valid], rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(lse_u), np.asarray(ref_lse_u), rtol=1e-5, atol=1e-5)
+
+
+def test_rectangular_blocks():
+    q, k, v, key_mask = make_qkv(T=256, S=256)
+    out, lse, lse_u = flash_attention(
+        q, k, v, key_mask, causal=True, block_q=128, block_k=64, interpret=True
+    )
+    ref_out, ref_lse, ref_lse_u = reference(q, k, v, key_mask, True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref_out), rtol=2e-5, atol=2e-5)
+    np.testing.assert_allclose(np.asarray(lse_u), np.asarray(ref_lse_u), rtol=1e-5, atol=1e-5)
+
+
+def test_indivisible_raises():
+    q, k, v, key_mask = make_qkv(T=100, S=100)
+    with pytest.raises(ValueError):
+        flash_attention(q, k, v, key_mask, block_q=64, block_k=64, interpret=True)
