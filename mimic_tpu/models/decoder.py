@@ -47,6 +47,7 @@ class DecoderOutput(NamedTuple):
     attn_capture: Optional[jnp.ndarray]      # [L,B,T,D] self-attn block outputs
     ffn_capture: Optional[jnp.ndarray]       # [L,B,T,D] MLP block outputs
     kv_cache: Optional[Dict[str, jnp.ndarray]]
+    layer_inputs: Optional[jnp.ndarray] = None  # [L,B,T,D] hidden state at layer entry
 
 
 # ---------------------------------------------------------------------------
@@ -268,6 +269,9 @@ def decoder_forward(
     logz2: str = "unmasked",
     key_mask: Optional[jnp.ndarray] = None,
     attn_impl: str = "xla",
+    capture_layer_inputs: bool = False,
+    perturb_attn: Optional[jnp.ndarray] = None,
+    perturb_ffn: Optional[jnp.ndarray] = None,
 ) -> DecoderOutput:
     """Run the decoder stack.
 
@@ -298,7 +302,8 @@ def decoder_forward(
     )
 
     def layer_step(h, xs):
-        lp, ls, os_, ad, ck, cv = xs
+        lp, ls, os_, ad, pa, pf, ck, cv = xs
+        layer_in = h
         residual = h
         hn = rms_norm(h, lp["input_ln"], cfg.norm_eps)
         attn_out, ck, cv = _self_attention(
@@ -308,17 +313,23 @@ def decoder_forward(
         attn_out = apply_output_shift(
             attn_out, os_.get("attn_out_shift"), os_.get("attn_out_scale")
         )
+        if pa is not None:
+            attn_out = attn_out + pa.astype(attn_out.dtype)
         h = residual + attn_out
         residual = h
         hn = rms_norm(h, lp["post_ln"], cfg.norm_eps)
         ffn_out = swiglu_mlp(hn, lp["gate_proj"], lp["up_proj"], lp["down_proj"])
         ffn_out = apply_output_shift(ffn_out, os_.get("ffn_shift"), os_.get("ffn_scale"))
+        if pf is not None:
+            ffn_out = ffn_out + pf.astype(ffn_out.dtype)
         h = residual + ffn_out
         ys = {}
         if capture_attn:
             ys["attn"] = attn_out
         if capture_ffn:
             ys["ffn"] = ffn_out
+        if capture_layer_inputs:
+            ys["layer_in"] = layer_in
         if use_cache:
             ys["k"] = ck
             ys["v"] = cv
@@ -329,7 +340,7 @@ def decoder_forward(
     os_stack = out_shift if out_shift else None
     ad_stack = adapters if adapters else None
 
-    def scan_layers(h, lp_stack, ls, os_, ad, ck, cv):
+    def scan_layers(h, lp_stack, ls, os_, ad, pa, pf, ck, cv):
         """Scan over a stack of self-attn layers; returns (h, ys_stacked).
 
         Absent optional inputs (shift pytrees, caches) are replaced by tiny dummy
@@ -339,17 +350,20 @@ def decoder_forward(
         n = jax.tree.leaves(lp_stack)[0].shape[0]
         dummy = jnp.zeros((n, 1))
         has_ls, has_os, has_ad = ls is not None, os_ is not None, ad is not None
+        has_pa, has_pf = pa is not None, pf is not None
         xs = (
             lp_stack,
             ls if has_ls else dummy,
             os_ if has_os else dummy,
             ad if has_ad else dummy,
+            pa if has_pa else dummy,
+            pf if has_pf else dummy,
             ck if use_cache else dummy,
             cv if use_cache else dummy,
         )
 
         def step(h, xs_):
-            lp, ls_, os__, ad_, ck_, cv_ = xs_
+            lp, ls_, os__, ad_, pa_, pf_, ck_, cv_ = xs_
             return layer_step(
                 h,
                 (
@@ -357,6 +371,8 @@ def decoder_forward(
                     ls_ if has_ls else {},
                     os__ if has_os else {},
                     ad_ if has_ad else {},
+                    pa_ if has_pa else None,
+                    pf_ if has_pf else None,
                     ck_ if use_cache else None,
                     cv_ if use_cache else None,
                 ),
@@ -385,13 +401,18 @@ def decoder_forward(
                 sl(ls_stack) if ls_stack else None,
                 sl(os_stack) if os_stack else None,
                 sl(ad_stack) if ad_stack else None,
+                perturb_attn[lo:hi] if perturb_attn is not None else None,
+                perturb_ffn[lo:hi] if perturb_ffn is not None else None,
                 ck_stack[lo:hi] if use_cache else None,
                 cv_stack[lo:hi] if use_cache else None,
             )
             ys_groups.append(ys)
         ys = jax.tree.map(lambda *a: jnp.concatenate(a, axis=0), *ys_groups)
     else:
-        h, ys = scan_layers(h, layers, ls_stack, os_stack, ad_stack, ck_stack, cv_stack)
+        h, ys = scan_layers(
+            h, layers, ls_stack, os_stack, ad_stack, perturb_attn, perturb_ffn,
+            ck_stack, cv_stack,
+        )
 
     h = rms_norm(h, params["final_ln"], cfg.norm_eps)
 
@@ -403,6 +424,7 @@ def decoder_forward(
         attn_capture=ys.get("attn") if capture_attn else None,
         ffn_capture=ys.get("ffn") if capture_ffn else None,
         kv_cache=new_cache,
+        layer_inputs=ys.get("layer_in") if capture_layer_inputs else None,
     )
 
 
