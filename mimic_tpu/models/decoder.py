@@ -201,7 +201,10 @@ def _self_attention(
         # masked lse and the reference-parity unmasked logsumexp come out free
         from ..ops.flash_attention import flash_attention
 
-        attn, lse, lse_u = flash_attention(q, k_all, v_all, key_mask, causal=True)
+        need_unmasked = bool(ls) and logz2 == "unmasked"
+        attn, lse, lse_u = flash_attention(
+            q, k_all, v_all, key_mask, causal=True, need_unmasked=need_unmasked
+        )
         if ls:
             log_z2 = lse if logz2 == "masked" else lse_u
             attn = apply_attn_shift(ls, q, log_z2, attn, multi_head)

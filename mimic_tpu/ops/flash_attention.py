@@ -32,8 +32,8 @@ from jax.experimental.pallas import tpu as pltpu
 
 NEG = -1.0e30
 
-DEFAULT_BQ = 256
-DEFAULT_BK = 512
+DEFAULT_BQ = 512
+DEFAULT_BK = 1024
 
 
 def _kernel(
@@ -52,6 +52,7 @@ def _kernel(
     *,
     scale: float,
     causal: bool,
+    need_unmasked: bool,
 ):
     bq, d = q_ref.shape[2], q_ref.shape[3]
     bk = k_ref.shape[2]
@@ -67,20 +68,6 @@ def _kernel(
         mu_scr[:] = jnp.full((bq, 1), NEG, jnp.float32)
         lu_scr[:] = jnp.zeros((bq, 1), jnp.float32)
 
-    q = q_ref[0, 0].astype(jnp.float32) * scale
-    k_blk = k_ref[0, 0].astype(jnp.float32)
-    s = jax.lax.dot_general(
-        q, k_blk, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-    )  # [bq, bk]
-
-    # unmasked running pair (log Z₂ parity: no masks)
-    m_u = mu_scr[:, 0]
-    m_u_new = jnp.maximum(m_u, jnp.max(s, axis=-1))
-    lu_scr[:, 0] = lu_scr[:, 0] * jnp.exp(m_u - m_u_new) + jnp.sum(
-        jnp.exp(s - m_u_new[:, None]), axis=-1
-    )
-    mu_scr[:, 0] = m_u_new
-
     q_start = jq * bq
     ks = jk * bk
     # blocks strictly above the causal diagonal contribute nothing masked
@@ -88,33 +75,59 @@ def _kernel(
         jnp.logical_not(causal), ks <= q_start + bq - 1
     )
 
-    @pl.when(block_needed)
-    def _masked():
-        kmask = kmask_ref[0, 0, :] > 0
-        masked = jnp.where(kmask[None, :], s, NEG)
-        if causal:
-            rows = q_start + jax.lax.broadcasted_iota(jnp.int32, (bq, bk), 0)
-            cols = ks + jax.lax.broadcasted_iota(jnp.int32, (bq, bk), 1)
-            masked = jnp.where(rows >= cols, masked, NEG)
-        m = m_scr[:, 0]
-        m_new = jnp.maximum(m, jnp.max(masked, axis=-1))
-        p = jnp.exp(masked - m_new[:, None])
-        alpha = jnp.exp(m - m_new)
-        l_scr[:, 0] = l_scr[:, 0] * alpha + jnp.sum(p, axis=-1)
-        v_blk = v_ref[0, 0].astype(jnp.float32)
-        acc_scr[:] = acc_scr[:] * alpha[:, None] + jax.lax.dot_general(
-            p, v_blk, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
-        )
-        m_scr[:, 0] = m_new
+    # with the unmasked lse required, every block must be visited; otherwise
+    # whole blocks above the causal diagonal are skipped
+    compute_pred = (
+        jnp.asarray(True) if need_unmasked else block_needed
+    )
+
+    @pl.when(compute_pred)
+    def _compute():
+        q = q_ref[0, 0].astype(jnp.float32) * scale
+        k_blk = k_ref[0, 0].astype(jnp.float32)
+        s = jax.lax.dot_general(
+            q, k_blk, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        )  # [bq, bk]
+
+        if need_unmasked:
+            # unmasked running pair (log Z₂ parity: no masks)
+            m_u = mu_scr[:, 0]
+            m_u_new = jnp.maximum(m_u, jnp.max(s, axis=-1))
+            lu_scr[:, 0] = lu_scr[:, 0] * jnp.exp(m_u - m_u_new) + jnp.sum(
+                jnp.exp(s - m_u_new[:, None]), axis=-1
+            )
+            mu_scr[:, 0] = m_u_new
+
+        @pl.when(block_needed)
+        def _masked():
+            kmask = kmask_ref[0, 0, :] > 0
+            masked = jnp.where(kmask[None, :], s, NEG)
+            if causal:
+                rows = q_start + jax.lax.broadcasted_iota(jnp.int32, (bq, bk), 0)
+                cols = ks + jax.lax.broadcasted_iota(jnp.int32, (bq, bk), 1)
+                masked = jnp.where(rows >= cols, masked, NEG)
+            m = m_scr[:, 0]
+            m_new = jnp.maximum(m, jnp.max(masked, axis=-1))
+            p = jnp.exp(masked - m_new[:, None])
+            alpha = jnp.exp(m - m_new)
+            l_scr[:, 0] = l_scr[:, 0] * alpha + jnp.sum(p, axis=-1)
+            v_blk = v_ref[0, 0].astype(jnp.float32)
+            acc_scr[:] = acc_scr[:] * alpha[:, None] + jax.lax.dot_general(
+                p, v_blk, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+            )
+            m_scr[:, 0] = m_new
 
     @pl.when(jk == n_kv - 1)
     def _finalize():
         l_safe = jnp.maximum(l_scr[:, 0], 1e-30)
         o_ref[0, 0] = (acc_scr[:] / l_safe[:, None]).astype(o_ref.dtype)
         lse_ref[0, 0] = (m_scr[:, 0] + jnp.log(l_safe))[:, None]
-        lse_u_ref[0, 0] = (
-            mu_scr[:, 0] + jnp.log(jnp.maximum(lu_scr[:, 0], 1e-30))
-        )[:, None]
+        if need_unmasked:
+            lse_u_ref[0, 0] = (
+                mu_scr[:, 0] + jnp.log(jnp.maximum(lu_scr[:, 0], 1e-30))
+            )[:, None]
+        else:
+            lse_u_ref[0, 0] = lse_ref[0, 0]
 
 
 def flash_attention(
@@ -126,6 +139,7 @@ def flash_attention(
     scale: Optional[float] = None,
     block_q: int = DEFAULT_BQ,
     block_k: int = DEFAULT_BK,
+    need_unmasked: bool = True,
     interpret: bool = False,
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Returns (out [B,T,H,D], lse [B,T,H], lse_unmasked [B,T,H]).
@@ -147,7 +161,7 @@ def flash_attention(
     vt = v.transpose(0, 2, 1, 3)
 
     grid = (B, H, T // bq, S // bk)
-    kernel = functools.partial(_kernel, scale=scale, causal=causal)
+    kernel = functools.partial(_kernel, scale=scale, causal=causal, need_unmasked=need_unmasked)
     out, lse, lse_u = pl.pallas_call(
         kernel,
         grid=grid,
