@@ -67,6 +67,7 @@ def compute_loss(
     align_loss_weight: float,
     lora_scaling: float,
     logz2: str,
+    attn_impl: str = "xla",
 ) -> Tuple[jnp.ndarray, Dict[str, jnp.ndarray]]:
     shift = trainable.get("shift") or None
     lora = trainable.get("lora") or None
@@ -81,15 +82,23 @@ def compute_loss(
         out1 = lvlm_forward(
             frozen, cfg, _full_lvlm_batch(batch),
             capture_attn=rec_attn, capture_ffn=rec_ffn, logz2=logz2,
+            attn_impl=attn_impl,
         )
         prefix_logits = jax.lax.stop_gradient(out1.logits)
         prefix_attn = jax.lax.stop_gradient(out1.decoder.attn_capture) if rec_attn else None
         prefix_ffn = jax.lax.stop_gradient(out1.decoder.ffn_capture) if rec_ffn else None
 
+    # the record pass is gradient-free (its inputs never touch trainables) so the
+    # Pallas kernel runs there; the shift pass is differentiated — each layer's
+    # input carries tangents from earlier layers' shifts — and the kernel has no
+    # VJP yet, so it stays on the XLA path.  The record pass dominates cost
+    # ((T_full/T_query)² in attention FLOPs), so this captures most of the win.
+    pass2_impl = "xla"
     out2 = lvlm_forward(
         frozen, cfg, _query_lvlm_batch(batch),
         shift=shift, adapters=lora, lora_scaling=lora_scaling,
         multi_head=mh, capture_attn=rec_attn, capture_ffn=rec_ffn, logz2=logz2,
+        attn_impl=pass2_impl,
     )
 
     if Strategy.LM_LOSS in strategy:
@@ -145,6 +154,7 @@ def make_train_step(
     align_loss_weight: float,
     lora_scaling: float = 1.0,
     logz2: str = "unmasked",
+    attn_impl: str = "xla",
     accumulate_steps: int = 1,
     donate: bool = True,
 ):
@@ -164,6 +174,7 @@ def make_train_step(
         align_loss_weight=align_loss_weight,
         lora_scaling=lora_scaling,
         logz2=logz2,
+        attn_impl=attn_impl,
     )
 
     def step_fn(state: TrainState, frozen, batch):
