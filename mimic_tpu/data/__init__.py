@@ -14,6 +14,7 @@ from .samplers import (
     SequentialSampler,
 )
 from .templates import apply_prompt_template, TEMPLATE_RENDERERS
+from .prefetch import PrefetchIterator, prefetch
 
 # importing registers all built-in dataset retrievers/postprocessors
 from . import retrievers  # noqa: F401
@@ -29,7 +30,9 @@ __all__ = [
     "RandomSampler",
     "SequentialSampler",
     "TEMPLATE_RENDERERS",
+    "PrefetchIterator",
     "apply_prompt_template",
+    "prefetch",
     "postprocess_generation",
     "prepare_dataloader",
     "prepare_input",

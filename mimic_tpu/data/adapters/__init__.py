@@ -10,12 +10,13 @@ from ...config.paths import Paths, get_paths
 from .. import sources
 from .base import DatasetAdapter, seeded_shuffle
 from .caption import CaptionAdapter
+from .hateful_memes import HatefulMemesAdapter
 from .mme import MMEAdapter
 from .seed_bench import SeedBenchAdapter
 from .vqa import VQAAdapter
 
 dataset_mapping: Dict[str, Type[DatasetAdapter]] = {}
-for cls in (VQAAdapter, CaptionAdapter, MMEAdapter, SeedBenchAdapter):
+for cls in (VQAAdapter, CaptionAdapter, MMEAdapter, SeedBenchAdapter, HatefulMemesAdapter):
     for name in cls.support_datasets:
         dataset_mapping[name] = cls
 
@@ -80,6 +81,7 @@ def build_adapter(
 __all__ = [
     "CaptionAdapter",
     "DatasetAdapter",
+    "HatefulMemesAdapter",
     "MMEAdapter",
     "SeedBenchAdapter",
     "VQAAdapter",

@@ -6,6 +6,7 @@ from typing import Dict, List, Tuple
 
 from ...evaluate import load_metric
 from ..core import postprocess_generation
+from ..prefetch import prefetch
 from .base import DatasetAdapter
 
 CAPTION_STOP_WORDS = ["\n", "Caption", "Image", "<", "Short"]
@@ -38,7 +39,7 @@ class CaptionAdapter(DatasetAdapter):
         iterations = eval_cfg.iterations or len(dl)
         gen_args = dict(vars(eval_cfg.generation))
         gen_args["max_new_tokens"] = 20  # caption override (caption.py:72)
-        for _, batch in zip(range(iterations), dl):
+        for _, batch in zip(range(iterations), prefetch(dl)):
             predictions = self.get_prediction(runner, batch, **gen_args)
             for pred, context in zip(predictions, batch):
                 last_item = context[-1]

@@ -1,4 +1,9 @@
-"""MME adapter (binary yes/no accuracy).  Parity with ``src/dataset_utils/mme.py``."""
+"""Hateful Memes adapter (binary accuracy).
+
+The reference ships the retriever/postprocess (``testbed/data/hateful_memes/``)
+but no ``src/dataset_utils`` adapter; this completes the surface with the same
+keyword→binary postprocess and an accuracy eval loop.
+"""
 
 from __future__ import annotations
 
@@ -10,8 +15,8 @@ from ..prefetch import prefetch
 from .base import DatasetAdapter
 
 
-class MMEAdapter(DatasetAdapter):
-    support_datasets = ["mme"]
+class HatefulMemesAdapter(DatasetAdapter):
+    support_datasets = ["hateful_memes"]
 
     @property
     def num_role_in_round(self) -> int:
@@ -22,11 +27,11 @@ class MMEAdapter(DatasetAdapter):
         return "accuracy"
 
     def extract_answer(self, item: Dict) -> str:
-        return item["answer"]
+        return "yes" if item.get("label") == 1 else "no"
 
     @property
     def instruction(self):
-        return 'Provide an answer in "Yes" or "No" to the question. Use the image to answer.'
+        return None
 
     def eval(self, eval_cfg, runner) -> Tuple[List[Dict], Dict]:
         result = []
@@ -37,17 +42,16 @@ class MMEAdapter(DatasetAdapter):
         for _, batch in zip(range(iterations), prefetch(dl)):
             predictions = self.get_prediction(runner, batch, **gen_args)
             for pred, context in zip(predictions, batch):
-                last_qa = context[-1]
-                gt = last_qa["answer"]
+                last = context[-1]
                 prediction = postprocess_generation(self.name, pred, stop_words=["\n"])
-                metric.add(prediction=prediction, reference=gt.lower() == "yes")
+                metric.add(prediction=prediction, reference=int(last.get("label", 0)))
                 result.append(
                     {
-                        "prediction": prediction,
-                        "answer": gt,
-                        "question": last_qa["question"],
+                        "id": last.get("id"),
+                        "text": last.get("text"),
                         "raw_output": pred,
-                        "question_id": last_qa.get("question_id"),
+                        "prediction": prediction,
+                        "label": last.get("label"),
                     }
                 )
         return result, metric.compute()

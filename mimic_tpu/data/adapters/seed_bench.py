@@ -9,6 +9,7 @@ from typing import Dict, List, Tuple
 
 from ...evaluate import load_metric
 from ..core import postprocess_generation
+from ..prefetch import prefetch
 from .base import DatasetAdapter
 
 
@@ -37,7 +38,7 @@ class SeedBenchAdapter(DatasetAdapter):
         iterations = eval_cfg.iterations or len(dl)
         gen_args = vars(eval_cfg.generation)
         rng = random.Random(self.cfg.seed)
-        for _, batch in zip(range(iterations), dl):
+        for _, batch in zip(range(iterations), prefetch(dl)):
             predictions = self.get_prediction(runner, batch, **gen_args)
             for pred, context in zip(predictions, batch):
                 last_qa = context[-1]

@@ -9,6 +9,7 @@ from typing import Dict, List, Tuple
 
 from ...evaluate import load_metric
 from ..core import postprocess_generation
+from ..prefetch import prefetch
 from .base import DatasetAdapter
 
 VQA_STOP_WORDS = ["\n", "Question", "Answer", "Image", "Short"]
@@ -45,7 +46,7 @@ class VQAAdapter(DatasetAdapter):
         dl = self.validation_dataloader(eval_cfg.batch_size)
         iterations = eval_cfg.iterations or len(dl)
         gen_args = vars(eval_cfg.generation)
-        for _, batch in zip(range(iterations), dl):
+        for _, batch in zip(range(iterations), prefetch(dl)):
             predictions = self.get_prediction(runner, batch, **gen_args)
             for pred, context in zip(predictions, batch):
                 last_qa = context[-1]
@@ -76,7 +77,7 @@ class VQAAdapter(DatasetAdapter):
         dl = self.validation_dataloader(eval_cfg.batch_size)
         iterations = eval_cfg.iterations or len(dl)
         gen_args = vars(eval_cfg.generation)
-        for _, batch in zip(range(iterations), dl):
+        for _, batch in zip(range(iterations), prefetch(dl)):
             predictions = self.get_prediction(runner, batch, **gen_args)
             for pred, context in zip(predictions, batch):
                 last_qa = context[-1]

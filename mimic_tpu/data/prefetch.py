@@ -1,0 +1,57 @@
+"""Background-thread batch prefetching.
+
+The reference hides host latency behind torch DataLoader worker processes
+(``num_workers=5``, ``src/config/data.yaml:7``).  Here a single background thread
+prepares upcoming batches (image decode + tokenize + collate happen off the
+dispatch path) while the TPU executes the current step — the right shape for a
+jit-dispatch pipeline, where the host only needs to stay one batch ahead.
+"""
+
+from __future__ import annotations
+
+import queue
+import threading
+from typing import Any, Callable, Iterable, Iterator, Optional
+
+
+class PrefetchIterator:
+    """Wrap any iterable; items are produced by a daemon thread into a queue."""
+
+    _SENTINEL = object()
+
+    def __init__(self, iterable: Iterable, depth: int = 2, transform: Optional[Callable] = None):
+        self.iterable = iterable
+        self.depth = depth
+        self.transform = transform
+
+    def __iter__(self) -> Iterator[Any]:
+        q: "queue.Queue" = queue.Queue(maxsize=self.depth)
+        error: list = []
+
+        def worker():
+            try:
+                for item in self.iterable:
+                    if self.transform is not None:
+                        item = self.transform(item)
+                    q.put(item)
+            except BaseException as e:  # propagate into the consumer
+                error.append(e)
+            finally:
+                q.put(self._SENTINEL)
+
+        t = threading.Thread(target=worker, daemon=True)
+        t.start()
+        while True:
+            item = q.get()
+            if item is self._SENTINEL:
+                if error:
+                    raise error[0]
+                return
+            yield item
+
+    def __len__(self) -> int:
+        return len(self.iterable)  # type: ignore[arg-type]
+
+
+def prefetch(iterable: Iterable, depth: int = 2, transform: Optional[Callable] = None):
+    return PrefetchIterator(iterable, depth=depth, transform=transform)

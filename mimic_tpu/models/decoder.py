@@ -275,6 +275,7 @@ def decoder_forward(
     capture_layer_inputs: bool = False,
     perturb_attn: Optional[jnp.ndarray] = None,
     perturb_ffn: Optional[jnp.ndarray] = None,
+    remat: bool = False,
 ) -> DecoderOutput:
     """Run the decoder stack.
 
@@ -381,6 +382,11 @@ def decoder_forward(
                 ),
             )
 
+        if remat:
+            # trade FLOPs for HBM: recompute layer internals in the backward pass
+            # (the reference leans on ZeRO-offload + fp16 to fit long contexts;
+            # rematerialization is the TPU-native lever)
+            step = jax.checkpoint(step)
         return jax.lax.scan(step, h, xs)
 
     h = input_embeds

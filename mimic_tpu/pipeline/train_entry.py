@@ -94,9 +94,12 @@ def run_train(
 
     state = TrainState(trainable, tx.init(trainable), jnp.zeros((), jnp.int32))
 
+    from ..data.prefetch import prefetch
+
     def epoch_batches(epoch: int):
-        for string_batch in dl:
-            yield collator(string_batch)
+        # collate (tokenize + image decode) in a background thread while the
+        # device executes the current step
+        return prefetch(dl, depth=2, transform=collator)
 
     ctx = mesh if mesh is not None else _nullcontext()
     with ctx:
