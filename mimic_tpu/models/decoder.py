@@ -199,11 +199,13 @@ def _self_attention(
     if use_flash:
         # Pallas fused path: causal + key-padding handled in-kernel; both the
         # masked lse and the reference-parity unmasked logsumexp come out free
-        from ..ops.flash_attention import flash_attention
+        from ..ops.flash_attention import DEFAULT_BK, DEFAULT_BQ, flash_attention_diff
 
         need_unmasked = bool(ls) and logz2 == "unmasked"
-        attn, lse, lse_u = flash_attention(
-            q, k_all, v_all, key_mask, causal=True, need_unmasked=need_unmasked
+        # custom_vjp requires positional args
+        attn, lse, lse_u = flash_attention_diff(
+            q, k_all, v_all, key_mask, True, None, DEFAULT_BQ, DEFAULT_BK,
+            need_unmasked, False,
         )
         if ls:
             log_z2 = lse if logz2 == "masked" else lse_u

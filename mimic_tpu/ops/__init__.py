@@ -1,3 +1,3 @@
-from .flash_attention import flash_attention
+from .flash_attention import flash_attention, flash_attention_diff
 
-__all__ = ["flash_attention"]
+__all__ = ["flash_attention", "flash_attention_diff"]

@@ -196,3 +196,93 @@ def flash_attention(
         lse[..., 0].transpose(0, 2, 1),
         lse_u[..., 0].transpose(0, 2, 1),
     )
+
+
+# ---------------------------------------------------------------------------
+# differentiable wrapper
+# ---------------------------------------------------------------------------
+
+
+@functools.partial(
+    jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7, 8, 9)
+)
+def flash_attention_diff(
+    q, k, v, key_mask,
+    causal: bool = True,
+    scale: Optional[float] = None,
+    block_q: int = DEFAULT_BQ,
+    block_k: int = DEFAULT_BK,
+    need_unmasked: bool = True,
+    interpret: bool = False,
+):
+    """``flash_attention`` with gradients.
+
+    Forward runs the Pallas kernel; backward is an exact jnp pullback that
+    rematerializes the score matrix blockwise-free (one [T,S] per head — fine for
+    the short shift-pass sequences where gradients are actually needed; the long
+    record pass is gradient-free and never hits this path).  Gradients cover
+    ``out``, ``lse`` and ``lse_unmasked`` cotangents (the μ-gate consumes lse).
+    """
+    return flash_attention(
+        q, k, v, key_mask, causal=causal, scale=scale,
+        block_q=block_q, block_k=block_k, need_unmasked=need_unmasked,
+        interpret=interpret,
+    )
+
+
+def _diff_fwd(q, k, v, key_mask, causal, scale, block_q, block_k, need_unmasked, interpret):
+    out, lse, lse_u = flash_attention(
+        q, k, v, key_mask, causal=causal, scale=scale,
+        block_q=block_q, block_k=block_k, need_unmasked=need_unmasked,
+        interpret=interpret,
+    )
+    return (out, lse, lse_u), (q, k, v, key_mask, out, lse, lse_u)
+
+
+def _diff_bwd(causal, scale, block_q, block_k, need_unmasked, interpret, res, cts):
+    from ..models.layers import repeat_kv
+
+    q, k, v, key_mask, out, lse, lse_u = res
+    g_out, g_lse, g_lse_u = cts
+    B, T, H, D = q.shape
+    S, Hkv = k.shape[1], k.shape[2]
+    groups = H // Hkv
+    sc = scale if scale is not None else 1.0 / (D**0.5)
+
+    qf = q.astype(jnp.float32)
+    kf = repeat_kv(k, groups).astype(jnp.float32)
+    vf = repeat_kv(v, groups).astype(jnp.float32)
+    s = jnp.einsum("bthd,bshd->bhts", qf, kf) * sc  # [B,H,T,S]
+
+    mask = key_mask[:, None, None, :].astype(bool)
+    if causal:
+        causal_m = jnp.tril(jnp.ones((T, S), bool))[None, None]
+        mask = mask & causal_m
+    # masked softmax from saved lse (avoids a second reduction)
+    p = jnp.where(mask, jnp.exp(s - lse.transpose(0, 2, 1)[..., None]), 0.0)
+
+    g_out_f = g_out.astype(jnp.float32)
+    dv_rep = jnp.einsum("bhts,bthd->bshd", p, g_out_f)
+    dp = jnp.einsum("bthd,bshd->bhts", g_out_f, vf)
+    delta = jnp.sum(g_out_f * out.astype(jnp.float32), axis=-1)  # [B,T,H]
+    ds = p * (dp - delta.transpose(0, 2, 1)[..., None])
+    if g_lse is not None:
+        ds = ds + g_lse.transpose(0, 2, 1)[..., None] * p
+    if need_unmasked and g_lse_u is not None:
+        p_u = jnp.exp(s - lse_u.transpose(0, 2, 1)[..., None])
+        ds = ds + g_lse_u.transpose(0, 2, 1)[..., None] * p_u
+
+    dq = jnp.einsum("bhts,bshd->bthd", ds, kf) * sc
+    dk_rep = jnp.einsum("bhts,bthd->bshd", ds, qf) * sc
+    # fold GQA-expanded head grads back to kv heads
+    dk = dk_rep.reshape(B, S, Hkv, groups, D).sum(axis=3)
+    dv = dv_rep.reshape(B, S, Hkv, groups, D).sum(axis=3)
+    return (
+        dq.astype(q.dtype),
+        dk.astype(k.dtype),
+        dv.astype(v.dtype),
+        jnp.zeros_like(key_mask),
+    )
+
+
+flash_attention_diff.defvjp(_diff_fwd, _diff_bwd)

@@ -88,12 +88,9 @@ def compute_loss(
         prefix_attn = jax.lax.stop_gradient(out1.decoder.attn_capture) if rec_attn else None
         prefix_ffn = jax.lax.stop_gradient(out1.decoder.ffn_capture) if rec_ffn else None
 
-    # the record pass is gradient-free (its inputs never touch trainables) so the
-    # Pallas kernel runs there; the shift pass is differentiated — each layer's
-    # input carries tangents from earlier layers' shifts — and the kernel has no
-    # VJP yet, so it stays on the XLA path.  The record pass dominates cost
-    # ((T_full/T_query)² in attention FLOPs), so this captures most of the win.
-    pass2_impl = "xla"
+    # both passes can run the Pallas kernel: the record pass is gradient-free and
+    # the shift pass differentiates through flash_attention_diff's custom VJP
+    pass2_impl = attn_impl
     out2 = lvlm_forward(
         frozen, cfg, _query_lvlm_batch(batch),
         shift=shift, adapters=lora, lora_scaling=lora_scaling,

@@ -22,9 +22,10 @@ def interpret_flash(monkeypatch):
     orig = fa.flash_attention
 
     def interpreted(*args, **kwargs):
-        kwargs.setdefault("interpret", True)
-        kwargs.setdefault("block_q", 64)
-        kwargs.setdefault("block_k", 64)
+        # force interpreter mode + small blocks regardless of caller settings
+        kwargs["interpret"] = True
+        kwargs["block_q"] = 64
+        kwargs["block_k"] = 64
         return orig(*args, **kwargs)
 
     monkeypatch.setattr(fa, "flash_attention", interpreted)
