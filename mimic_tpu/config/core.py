@@ -115,6 +115,7 @@ class TrainConfig:
     accumulate_grad_batches: int = 2
     grad_clip_val: float = 1.0
     dtype: str = "bfloat16"  # TPU-native (reference uses torch.float16)
+    attn_impl: str = "auto"  # "auto" (flash on TPU) | "flash" | "xla"
     seed: int = 3407
     data: DataConfig = field(default_factory=DataConfig)
     encoder: EncoderConfig = field(default_factory=EncoderConfig)

@@ -71,11 +71,15 @@ def run_train(
         accumulate_steps=cfg.accumulate_grad_batches,
     )
     lora_scaling = cfg.peft.lora.scaling() if cfg.peft.lora else 1.0
+    attn_impl = cfg.attn_impl
+    if attn_impl == "auto":
+        attn_impl = "flash" if jax.default_backend() == "tpu" else "xla"
     step = make_train_step(
         runner.cfg, cfg.encoder, tx,
         ce_loss_weight=cfg.peft.ce_loss_weight,
         align_loss_weight=cfg.peft.align_loss_weight,
         lora_scaling=lora_scaling,
+        attn_impl=attn_impl,
     )
 
     collator = TrainCollator(
