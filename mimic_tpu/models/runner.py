@@ -118,10 +118,10 @@ class LVLMRunner:
             eos_token_id=self.tokenizer.eos_token_id,
             pad_token_id=self.tokenizer.pad_token_id,
             shift=self.shift,
+            adapters=self.adapters,
+            lora_scaling=self.lora_scaling,
             logz2=self.logz2,
         )
-        # adapters flow through lvlm_forward's decoder kwargs; fold them into shift
-        # is not possible, so generation passes them via partial application below.
         if num_beams > 1:
             result = beam_generate(
                 self.params, self.cfg, batch, num_beams=num_beams,
