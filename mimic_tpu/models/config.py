@@ -253,10 +253,51 @@ def tiny_text(family: str = "idefics2", **kw) -> ModelConfig:
     )
 
 
+def mistral_7b() -> ModelConfig:
+    """Text-only Mistral tower (reference testbed/models/mistral.py surface)."""
+    return ModelConfig(
+        name="mistral-7b",
+        family="text",
+        text=TextConfig(
+            vocab_size=32000,
+            hidden_size=4096,
+            num_layers=32,
+            num_heads=32,
+            num_kv_heads=8,
+            intermediate_size=14336,
+            norm_eps=1e-5,
+            sliding_window=4096,
+            max_position_embeddings=32768,
+        ),
+    )
+
+
+def qwen2_7b() -> ModelConfig:
+    """Text-only Qwen2 tower (reference testbed/models/qwen2.py surface)."""
+    return ModelConfig(
+        name="qwen2-7b",
+        family="text",
+        text=TextConfig(
+            vocab_size=152064,
+            hidden_size=3584,
+            num_layers=28,
+            num_heads=28,
+            num_kv_heads=4,
+            intermediate_size=18944,
+            norm_eps=1e-6,
+            rope_theta=1000000.0,
+            attn_bias=True,
+            max_position_embeddings=32768,
+        ),
+    )
+
+
 MODEL_CONFIGS = {
     "idefics-9b": idefics_9b,
     "idefics2-8b-base": idefics2_8b_base,
     "llava-interleave-7b": llava_interleave_7b,
+    "mistral-7b": mistral_7b,
+    "qwen2-7b": qwen2_7b,
 }
 
 

@@ -25,6 +25,8 @@ _FAMILY_TEMPLATE = {
     "idefics1": "idefics1",
     "idefics2": "idefics2",
     "llava-interleave": "llava-interleave",
+    # text-only towers (reference mistral/qwen2 wrappers) use the ChatML template
+    "text": "llava-interleave",
 }
 
 

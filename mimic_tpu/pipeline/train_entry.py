@@ -50,7 +50,13 @@ def run_train(
     def apply_template(ctx):
         return runner.apply_prompt_template(ctx)
 
-    dl = adapter.train_dataloader(apply_template, cfg.batch_size)
+    # per-host query sharding (the analog of the reference's manual
+    # DistributedSampler, src/train.py:104 + interface.py:251-253)
+    n_proc, proc_id = jax.process_count(), jax.process_index()
+    dl = adapter.train_dataloader(
+        apply_template, cfg.batch_size,
+        distributed=n_proc > 1, num_replicas=n_proc, rank=proc_id,
+    )
     max_epochs = cfg.epochs or get_max_epochs(cfg.model_name, cfg.data.num_query_samples)
     steps_per_epoch = max(len(dl) // max(cfg.accumulate_grad_batches, 1), 1)
     total_steps = steps_per_epoch * max_epochs
