@@ -98,7 +98,7 @@ def run_train(
     frozen = runner.params
     mesh = None
     if use_mesh and len(jax.devices()) > 1:
-        mesh = make_mesh(n_data=-1, n_model=1)
+        mesh = make_mesh(n_data=cfg.mesh.data_axis, n_model=cfg.mesh.model_axis)
         frozen = shard_params(frozen, mesh)
         trainable = replicate(trainable, mesh)
 
