@@ -56,20 +56,34 @@ def init_lvlm_params(cfg: ModelConfig, key: jax.Array, dtype=jnp.float32) -> Par
 
 
 def encode_images(
-    params: Params, cfg: ModelConfig, pixel_values: jnp.ndarray
+    params: Params,
+    cfg: ModelConfig,
+    pixel_values: jnp.ndarray,
+    patch_mask: Optional[jnp.ndarray] = None,
 ) -> jnp.ndarray:
     """pixel_values [B,N,H,W,C] → per-image feature tokens.
 
     Returns [B, N*S, D_text] for inline families, [B, N*latents, D_vision] for
-    idefics1 (cross-attention states).
+    idefics1 (cross-attention states).  ``patch_mask`` [B,N,nh,nw] carries the
+    valid-patch grid for variable-aspect images (idefics2).
     """
     B, N = pixel_values.shape[:2]
     flat = pixel_values.reshape((B * N,) + pixel_values.shape[2:])
-    feats = vit_forward(params["vision"], cfg.vision, flat)  # [B*N, P, Dv]
+    flat_patch = (
+        patch_mask.reshape((B * N,) + patch_mask.shape[2:])
+        if patch_mask is not None
+        else None
+    )
+    feats = vit_forward(params["vision"], cfg.vision, flat, patch_mask=flat_patch)
+    ctx_mask = flat_patch.reshape(B * N, -1) if flat_patch is not None else None
     if cfg.family == "idefics2":
-        feats = perceiver_forward(params["connector"], cfg.perceiver, feats)
+        feats = perceiver_forward(
+            params["connector"], cfg.perceiver, feats, context_mask=ctx_mask
+        )
     elif cfg.family == "idefics1":
-        feats = perceiver_forward(params["perceiver"], cfg.perceiver, feats)
+        feats = perceiver_forward(
+            params["perceiver"], cfg.perceiver, feats, context_mask=ctx_mask
+        )
     elif cfg.family == "llava-interleave":
         feats = llava_project(params["projector"], feats)
     S = feats.shape[1]
@@ -101,6 +115,7 @@ class LVLMBatch(NamedTuple):
     pixel_values: Optional[jnp.ndarray] = None   # [B,N,H,W,C]
     pixel_mask: Optional[jnp.ndarray] = None     # [B,N]
     image_attention_mask: Optional[jnp.ndarray] = None  # [B,T,N] (idefics1)
+    patch_mask: Optional[jnp.ndarray] = None     # [B,N,nh,nw] (idefics2 aspect)
 
 
 def lvlm_forward(
@@ -125,7 +140,7 @@ def lvlm_forward(
     cross_states = None
     cross_mask = None
     if batch.pixel_values is not None and image_feats is None:
-        image_feats = encode_images(params, cfg, batch.pixel_values)
+        image_feats = encode_images(params, cfg, batch.pixel_values, batch.patch_mask)
     if image_feats is not None:
         if cfg.family == "idefics1":
             cross_states = image_feats

@@ -29,19 +29,46 @@ SIGLIP_STD = (0.5, 0.5, 0.5)
 
 @dataclass
 class ImageProcessor:
-    """Resize + rescale + normalize → [H, W, 3] float32 arrays."""
+    """Resize + rescale + normalize → [H, W, 3] float32 arrays.
+
+    ``mode="square"`` stretches to ``size×size`` (CLIP/LLaVA-SigLIP behavior);
+    ``mode="longest_edge"`` keeps the aspect ratio with the longest edge at
+    ``size`` (min shortest edge ``min_size``), pads the canvas top-left, and also
+    returns the valid-pixel region (Idefics2 behavior — the vision tower gets a
+    patch attention mask).
+    """
 
     size: int
     mean: Sequence[float] = SIGLIP_MEAN
     std: Sequence[float] = SIGLIP_STD
+    mode: str = "square"
+    min_size: int = 378
 
     def __call__(self, image) -> np.ndarray:
+        arr, _ = self.process_with_region(image)
+        return arr
+
+    def process_with_region(self, image):
+        """Returns (normalized [size,size,3], (valid_h, valid_w))."""
         arr = self._to_array(image)
-        arr = self._resize(arr, self.size, self.size)
+        if self.mode == "longest_edge":
+            h, w = arr.shape[:2]
+            scale = self.size / max(h, w)
+            nh, nw = max(1, round(h * scale)), max(1, round(w * scale))
+            if min(nh, nw) < self.min_size:
+                up = self.min_size / min(nh, nw)
+                nh, nw = min(self.size, round(nh * up)), min(self.size, round(nw * up))
+            arr = self._resize(arr, nh, nw)
+            canvas = np.zeros((self.size, self.size, 3), arr.dtype)
+            canvas[:nh, :nw] = arr
+            arr, region = canvas, (nh, nw)
+        else:
+            arr = self._resize(arr, self.size, self.size)
+            region = (self.size, self.size)
         arr = arr.astype(np.float32) / 255.0
         mean = np.asarray(self.mean, np.float32)
         std = np.asarray(self.std, np.float32)
-        return (arr - mean) / std
+        return (arr - mean) / std, region
 
     @staticmethod
     def _to_array(image) -> np.ndarray:
@@ -95,7 +122,14 @@ class LVLMProcessor:
         mean, std = (
             (CLIP_MEAN, CLIP_STD) if cfg.family == "idefics1" else (SIGLIP_MEAN, SIGLIP_STD)
         )
-        self.image_processor = ImageProcessor(size=size, mean=mean, std=std)
+        # idefics2 keeps aspect ratio (HF longest-edge resize + pixel mask);
+        # idefics1/llava use fixed square resize
+        mode = "longest_edge" if cfg.family == "idefics2" else "square"
+        self.image_processor = ImageProcessor(
+            size=size, mean=mean, std=std, mode=mode,
+            min_size=min(378, size),
+        )
+        self.patch_size = cfg.vision.patch_size if cfg.vision else 14
 
     # -- text ---------------------------------------------------------------
 
@@ -128,9 +162,10 @@ class LVLMProcessor:
             "attention_mask": attention_mask,
         }
         if images is not None and any(len(i) for i in images):
-            out["pixel_values"], out["pixel_mask"] = self._process_images(
-                images, max_images
-            )
+            pixels, mask, patch_mask = self._process_images(images, max_images)
+            out["pixel_values"], out["pixel_mask"] = pixels, mask
+            if patch_mask is not None:
+                out["patch_mask"] = patch_mask
             if self.cfg.family == "idefics1":
                 out["image_attention_mask"] = self._image_attention_mask(
                     input_ids, out["pixel_values"].shape[1]
@@ -147,14 +182,22 @@ class LVLMProcessor:
             n_max = max_images
         n_max = max(n_max, 1)
         size = self.image_processor.size
+        ps = self.patch_size
+        np_side = size // ps
+        aspect = self.image_processor.mode == "longest_edge"
         B = len(batch_images)
         pixels = np.zeros((B, n_max, size, size, 3), np.float32)
         mask = np.zeros((B, n_max), np.int32)
+        patch_mask = np.zeros((B, n_max, np_side, np_side), np.int32) if aspect else None
         for b, imgs in enumerate(batch_images):
             for i, img in enumerate(imgs):
-                pixels[b, i] = self.image_processor(img)
+                arr, (vh, vw) = self.image_processor.process_with_region(img)
+                pixels[b, i] = arr
                 mask[b, i] = 1
-        return pixels, mask
+                if aspect:
+                    # a patch attends if any of its pixels are valid (HF semantics)
+                    patch_mask[b, i, : -(-vh // ps), : -(-vw // ps)] = 1
+        return pixels, mask, patch_mask
 
     def _image_attention_mask(self, input_ids: np.ndarray, n_images: int) -> np.ndarray:
         """[B,T,n_images]: each text token attends to the nearest *preceding* image

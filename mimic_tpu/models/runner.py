@@ -86,6 +86,7 @@ class LVLMRunner:
                 if "image_attention_mask" in enc
                 else None
             ),
+            patch_mask=jnp.asarray(enc["patch_mask"]) if "patch_mask" in enc else None,
         )
 
     def generate(

@@ -81,15 +81,54 @@ def patchify(pixels: jnp.ndarray, patch: int) -> jnp.ndarray:
     return x.reshape(B, nh * nw, patch * patch * C)
 
 
-def vit_forward(params: Params, cfg: VisionConfig, pixels: jnp.ndarray) -> jnp.ndarray:
-    """pixels [B,H,W,C] → features [B, N, D] (post-layernorm applied)."""
+def bucket_position_ids(patch_mask: jnp.ndarray) -> jnp.ndarray:
+    """NaViT-style bucketized position ids for variable-aspect images.
+
+    patch_mask [B, nh, nw] (top-left valid region) → pos ids [B, nh*nw] into a
+    ``nh*nw``-entry position table: the valid ``nb_h × nb_w`` grid is stretched
+    over the full grid with ``bucketize(arange(nb)/nb, boundaries, right)``
+    (HF Idefics2VisionEmbeddings semantics); padded patches get id 0 (masked).
+    """
+    B, nh, nw = patch_mask.shape
+    valid_h = jnp.maximum(jnp.sum(jnp.any(patch_mask > 0, axis=2), axis=1), 1)  # [B]
+    valid_w = jnp.maximum(jnp.sum(jnp.any(patch_mask > 0, axis=1), axis=1), 1)
+
+    def buckets(valid_n, side):
+        frac = jnp.arange(side)[None, :] / valid_n[:, None]          # [B, side]
+        boundaries = jnp.arange(1, side) / side                       # [side-1]
+        return jnp.sum(frac[:, :, None] >= boundaries[None, None, :], axis=-1)
+
+    bh = buckets(valid_h, nh)  # [B, nh]
+    bw = buckets(valid_w, nw)  # [B, nw]
+    ids = bh[:, :, None] * nw + bw[:, None, :]  # [B, nh, nw]
+    ids = jnp.where(patch_mask > 0, ids, 0)
+    return ids.reshape(B, nh * nw)
+
+
+def vit_forward(
+    params: Params,
+    cfg: VisionConfig,
+    pixels: jnp.ndarray,
+    patch_mask: Optional[jnp.ndarray] = None,
+) -> jnp.ndarray:
+    """pixels [B,H,W,C] → features [B, N, D] (post-layernorm applied).
+
+    ``patch_mask`` [B, nh, nw] enables variable-aspect processing (idefics2):
+    padded patches are masked out of attention and position ids are bucketized.
+    """
     x = jnp.dot(patchify(pixels, cfg.patch_size), params["patch_embed"]["kernel"])
     x = x + params["patch_embed"]["bias"]
     B = x.shape[0]
     if cfg.use_class_token:
         cls = jnp.broadcast_to(params["class_embed"][None, None], (B, 1, cfg.hidden_size))
         x = jnp.concatenate([cls, x.astype(cls.dtype)], axis=1)
-    x = x + params["pos_embed"][None]
+    if patch_mask is not None:
+        pos_ids = bucket_position_ids(patch_mask)
+        x = x + jnp.take(params["pos_embed"], pos_ids, axis=0)
+        key_mask = (patch_mask.reshape(B, -1) > 0)[:, None, None, :]  # [B,1,1,N]
+    else:
+        x = x + params["pos_embed"][None]
+        key_mask = None
     if cfg.use_class_token:
         x = layer_norm(x, params["pre_ln_w"], params["pre_ln_b"], cfg.norm_eps)
 
@@ -103,7 +142,7 @@ def vit_forward(params: Params, cfg: VisionConfig, pixels: jnp.ndarray) -> jnp.n
         q = (jnp.dot(hn, lp["q_proj"]) + lp["q_bias"]).reshape(B_, N, H, Dh)
         k = (jnp.dot(hn, lp["k_proj"]) + lp["k_bias"]).reshape(B_, N, H, Dh)
         v = (jnp.dot(hn, lp["v_proj"]) + lp["v_bias"]).reshape(B_, N, H, Dh)
-        attn, _ = sdpa_with_lse(q, k, v, mask=None)
+        attn, _ = sdpa_with_lse(q, k, v, mask=key_mask)
         h = residual + jnp.dot(attn.reshape(B_, N, D), lp["o_proj"]) + lp["o_bias"]
         residual = h
         hn = layer_norm(h, lp["ln2_w"], lp["ln2_b"], cfg.norm_eps)
@@ -168,11 +207,13 @@ def perceiver_forward(
     pcfg: PerceiverConfig,
     vision_feats: jnp.ndarray,
     norm_eps: float = 1e-6,
+    context_mask: Optional[jnp.ndarray] = None,
 ) -> jnp.ndarray:
     """vision_feats [B, N, width_in] → [B, num_latents, width_out].
 
     Each layer: latents attend to concat(context, latents) (Flamingo-style),
-    then a gated MLP; both with residuals.
+    then a gated MLP; both with residuals.  ``context_mask`` [B, N] masks padded
+    vision patches out of the cross-attention keys (idefics2 variable aspect).
     """
     if "modality_proj" in params:
         mp = params["modality_proj"]
@@ -189,6 +230,14 @@ def perceiver_forward(
         params["latents"][None], (B, params["latents"].shape[0], width)
     ).astype(vision_feats.dtype)
 
+    kv_mask = None
+    if context_mask is not None:
+        n_lat = params["latents"].shape[0]
+        full = jnp.concatenate(
+            [context_mask.astype(bool), jnp.ones((B, n_lat), bool)], axis=1
+        )
+        kv_mask = full[:, None, None, :]  # [B,1,1,N+latents]
+
     def step(lat, lp):
         residual = lat
         ln_lat = rms_norm(lat, lp["ln_latents"], norm_eps)
@@ -198,7 +247,7 @@ def perceiver_forward(
         q = jnp.dot(ln_lat, lp["q_proj"]).reshape(B, nq, H, Dh)
         k = jnp.dot(kv_input, lp["k_proj"]).reshape(B, nk, Hkv, Dh)
         v = jnp.dot(kv_input, lp["v_proj"]).reshape(B, nk, Hkv, Dh)
-        attn, _ = sdpa_with_lse(q, repeat_kv(k, H // Hkv), repeat_kv(v, H // Hkv), None)
+        attn, _ = sdpa_with_lse(q, repeat_kv(k, H // Hkv), repeat_kv(v, H // Hkv), kv_mask)
         lat = residual + jnp.dot(attn.reshape(B, nq, H * Dh), lp["o_proj"])
         residual = lat
         ln = rms_norm(lat, lp["post_ln"], norm_eps)

@@ -32,12 +32,14 @@ class TrainBatch:
     query_pixels: Optional[np.ndarray]
     query_pixel_mask: Optional[np.ndarray]
     query_img_attn: Optional[np.ndarray]
+    query_patch_mask: Optional[np.ndarray] = None
     # record (full-context) pass; None when strategy is LM_LOSS only
     full_ids: Optional[np.ndarray] = None
     full_mask: Optional[np.ndarray] = None
     full_pixels: Optional[np.ndarray] = None
     full_pixel_mask: Optional[np.ndarray] = None
     full_img_attn: Optional[np.ndarray] = None
+    full_patch_mask: Optional[np.ndarray] = None
     # layer-wise alignment gathers (query tokens in both passes, paired by order)
     prefix_q_idx: Optional[np.ndarray] = None
     shift_q_idx: Optional[np.ndarray] = None
@@ -108,6 +110,7 @@ class TrainCollator:
             query_pixels=q_enc.get("pixel_values"),
             query_pixel_mask=q_enc.get("pixel_mask"),
             query_img_attn=q_enc.get("image_attention_mask"),
+            query_patch_mask=q_enc.get("patch_mask"),
         )
 
         if self.strategy == Strategy.LM_LOSS:
@@ -129,6 +132,7 @@ class TrainCollator:
         out.full_pixels = f_enc.get("pixel_values")
         out.full_pixel_mask = f_enc.get("pixel_mask")
         out.full_img_attn = f_enc.get("image_attention_mask")
+        out.full_patch_mask = f_enc.get("patch_mask")
 
         side = self.tk.padding_side
         if self.strategy.has_layer_wise():

@@ -40,6 +40,7 @@ def _query_lvlm_batch(b: Dict[str, Any]) -> LVLMBatch:
         pixel_values=b.get("query_pixels"),
         pixel_mask=b.get("query_pixel_mask"),
         image_attention_mask=b.get("query_img_attn"),
+        patch_mask=b.get("query_patch_mask"),
     )
 
 
@@ -50,6 +51,7 @@ def _full_lvlm_batch(b: Dict[str, Any]) -> LVLMBatch:
         pixel_values=b.get("full_pixels"),
         pixel_mask=b.get("full_pixel_mask"),
         image_attention_mask=b.get("full_img_attn"),
+        patch_mask=b.get("full_patch_mask"),
     )
 
 
