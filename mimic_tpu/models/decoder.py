@@ -128,15 +128,24 @@ def init_kv_cache(
 # ---------------------------------------------------------------------------
 
 
-def _lora_delta(ad: Params, name: str, x: jnp.ndarray, scaling) -> Optional[jnp.ndarray]:
-    """LoRA low-rank delta: scaling · (x A) B for one projection, or None."""
+def _lora_delta(
+    ad: Params, name: str, x: jnp.ndarray, scaling, drop_key=None, drop_rate: float = 0.0
+) -> Optional[jnp.ndarray]:
+    """LoRA low-rank delta: scaling · B(A(dropout(x))) for one projection, or None
+    (dropout on the adapter input only, peft semantics)."""
     a, b = ad.get(f"{name}_a"), ad.get(f"{name}_b")
     if a is None:
         return None
+    if drop_key is not None and drop_rate > 0.0:
+        keep = jax.random.bernoulli(drop_key, 1.0 - drop_rate, x.shape)
+        x = jnp.where(keep, x / (1.0 - drop_rate), 0.0).astype(x.dtype)
     return scaling * jnp.dot(jnp.dot(x, a), b)
 
 
-def _project_qkv(lp: Params, ad: Params, x: jnp.ndarray, cfg: TextConfig, scaling):
+def _project_qkv(
+    lp: Params, ad: Params, x: jnp.ndarray, cfg: TextConfig, scaling,
+    drop_keys=None, drop_rate: float = 0.0,
+):
     B, T, _ = x.shape
     H, Hkv, Dh = cfg.num_heads, cfg.num_kv_heads, cfg.head_size
     q = jnp.dot(x, lp["q_proj"])
@@ -146,9 +155,10 @@ def _project_qkv(lp: Params, ad: Params, x: jnp.ndarray, cfg: TextConfig, scalin
         q = q + lp["q_bias"]
         k = k + lp["k_bias"]
         v = v + lp["v_bias"]
-    dq = _lora_delta(ad, "q", x, scaling)
-    dk = _lora_delta(ad, "k", x, scaling)
-    dv = _lora_delta(ad, "v", x, scaling)
+    dk_ = lambda i: None if drop_keys is None else drop_keys[i]
+    dq = _lora_delta(ad, "q", x, scaling, dk_(0), drop_rate)
+    dk = _lora_delta(ad, "k", x, scaling, dk_(1), drop_rate)
+    dv = _lora_delta(ad, "v", x, scaling, dk_(2), drop_rate)
     if dq is not None:
         q = q + dq
     if dk is not None:
@@ -179,10 +189,12 @@ def _self_attention(
     lora_scaling,
     key_mask: Optional[jnp.ndarray] = None,
     use_flash: bool = False,
+    drop_keys=None,
+    drop_rate: float = 0.0,
 ) -> Tuple[jnp.ndarray, Optional[jnp.ndarray], Optional[jnp.ndarray]]:
     """Returns (attn block output [B,T,D], new_cache_k, new_cache_v)."""
     B, T, _ = x.shape
-    q, k, v = _project_qkv(lp, ad, x, cfg, lora_scaling)
+    q, k, v = _project_qkv(lp, ad, x, cfg, lora_scaling, drop_keys, drop_rate)
     q, k = apply_rope(q, k, cos, sin)
     if cfg.qk_layernorm:
         q = rms_norm(q, lp["q_ln"], cfg.norm_eps)
@@ -221,7 +233,10 @@ def _self_attention(
 
     attn_flat = attn.reshape(B, T, -1)
     out = jnp.dot(attn_flat, lp["o_proj"])
-    do = _lora_delta(ad, "o", attn_flat, lora_scaling)
+    do = _lora_delta(
+        ad, "o", attn_flat, lora_scaling,
+        None if drop_keys is None else drop_keys[3], drop_rate,
+    )
     if do is not None:
         out = out + do
     return out, cache_k, cache_v
@@ -265,6 +280,8 @@ def decoder_forward(
     shift: Optional[Params] = None,
     adapters: Optional[Params] = None,
     lora_scaling: float = 1.0,
+    lora_dropout: float = 0.0,
+    dropout_rng: Optional[jax.Array] = None,
     multi_head: bool = True,
     capture_attn: bool = False,
     capture_ffn: bool = False,
@@ -307,14 +324,19 @@ def decoder_forward(
         and cfg.head_size % 128 == 0
     )
 
+    use_dropout = (
+        dropout_rng is not None and lora_dropout > 0.0 and adapters is not None
+    )
+
     def layer_step(h, xs):
-        lp, ls, os_, ad, pa, pf, ck, cv = xs
+        lp, ls, os_, ad, pa, pf, dkeys, ck, cv = xs
         layer_in = h
         residual = h
         hn = rms_norm(h, lp["input_ln"], cfg.norm_eps)
         attn_out, ck, cv = _self_attention(
             lp, ls, ad, hn, cos, sin, attn_mask, cfg, ck, cv, cache_len,
             multi_head, logz2, lora_scaling, key_mask=key_mask, use_flash=use_flash,
+            drop_keys=dkeys, drop_rate=lora_dropout if use_dropout else 0.0,
         )
         attn_out = apply_output_shift(
             attn_out, os_.get("attn_out_shift"), os_.get("attn_out_scale")
@@ -345,8 +367,14 @@ def decoder_forward(
     ls_stack = layer_shift if layer_shift else None
     os_stack = out_shift if out_shift else None
     ad_stack = adapters if adapters else None
+    dk_full = None
+    if dropout_rng is not None and lora_dropout > 0.0 and ad_stack is not None:
+        # 4 independent dropout masks per layer (q/k/v/o adapter inputs)
+        dk_full = jax.random.split(dropout_rng, cfg.num_layers * 4).reshape(
+            cfg.num_layers, 4, 2
+        )
 
-    def scan_layers(h, lp_stack, ls, os_, ad, pa, pf, ck, cv):
+    def scan_layers(h, lp_stack, ls, os_, ad, pa, pf, dk_stack, ck, cv):
         """Scan over a stack of self-attn layers; returns (h, ys_stacked).
 
         Absent optional inputs (shift pytrees, caches) are replaced by tiny dummy
@@ -357,6 +385,7 @@ def decoder_forward(
         dummy = jnp.zeros((n, 1))
         has_ls, has_os, has_ad = ls is not None, os_ is not None, ad is not None
         has_pa, has_pf = pa is not None, pf is not None
+        dkeys = dk_stack
         xs = (
             lp_stack,
             ls if has_ls else dummy,
@@ -364,12 +393,13 @@ def decoder_forward(
             ad if has_ad else dummy,
             pa if has_pa else dummy,
             pf if has_pf else dummy,
+            dkeys if dkeys is not None else dummy,
             ck if use_cache else dummy,
             cv if use_cache else dummy,
         )
 
         def step(h, xs_):
-            lp, ls_, os__, ad_, pa_, pf_, ck_, cv_ = xs_
+            lp, ls_, os__, ad_, pa_, pf_, dk__, ck_, cv_ = xs_
             return layer_step(
                 h,
                 (
@@ -379,6 +409,7 @@ def decoder_forward(
                     ad_ if has_ad else {},
                     pa_ if has_pa else None,
                     pf_ if has_pf else None,
+                    dk__ if dkeys is not None else None,
                     ck_ if use_cache else None,
                     cv_ if use_cache else None,
                 ),
@@ -414,6 +445,7 @@ def decoder_forward(
                 sl(ad_stack) if ad_stack else None,
                 perturb_attn[lo:hi] if perturb_attn is not None else None,
                 perturb_ffn[lo:hi] if perturb_ffn is not None else None,
+                dk_full[lo:hi] if dk_full is not None else None,
                 ck_stack[lo:hi] if use_cache else None,
                 cv_stack[lo:hi] if use_cache else None,
             )
@@ -422,7 +454,7 @@ def decoder_forward(
     else:
         h, ys = scan_layers(
             h, layers, ls_stack, os_stack, ad_stack, perturb_attn, perturb_ffn,
-            ck_stack, cv_stack,
+            dk_full, ck_stack, cv_stack,
         )
 
     h = rms_norm(h, params["final_ln"], cfg.norm_eps)

@@ -85,7 +85,9 @@ def run_train(
         ce_loss_weight=cfg.peft.ce_loss_weight,
         align_loss_weight=cfg.peft.align_loss_weight,
         lora_scaling=lora_scaling,
+        lora_dropout=cfg.peft.lora.dropout if cfg.peft.lora else 0.0,
         attn_impl=attn_impl,
+        seed=cfg.seed,
     )
 
     collator = TrainCollator(

@@ -70,6 +70,8 @@ def compute_loss(
     lora_scaling: float,
     logz2: str,
     attn_impl: str = "xla",
+    lora_dropout: float = 0.0,
+    dropout_rng: Optional[jax.Array] = None,
 ) -> Tuple[jnp.ndarray, Dict[str, jnp.ndarray]]:
     shift = trainable.get("shift") or None
     lora = trainable.get("lora") or None
@@ -96,6 +98,7 @@ def compute_loss(
     out2 = lvlm_forward(
         frozen, cfg, _query_lvlm_batch(batch),
         shift=shift, adapters=lora, lora_scaling=lora_scaling,
+        lora_dropout=lora_dropout, dropout_rng=dropout_rng,
         multi_head=mh, capture_attn=rec_attn, capture_ffn=rec_ffn, logz2=logz2,
         attn_impl=pass2_impl,
     )
@@ -152,10 +155,12 @@ def make_train_step(
     ce_loss_weight: float,
     align_loss_weight: float,
     lora_scaling: float = 1.0,
+    lora_dropout: float = 0.0,
     logz2: str = "unmasked",
     attn_impl: str = "xla",
     accumulate_steps: int = 1,
     donate: bool = True,
+    seed: int = 0,
 ):
     """Build the jitted (state, frozen, batch) → (state, metrics) step.
 
@@ -172,13 +177,21 @@ def make_train_step(
         ce_loss_weight=ce_loss_weight,
         align_loss_weight=align_loss_weight,
         lora_scaling=lora_scaling,
+        lora_dropout=lora_dropout,
         logz2=logz2,
         attn_impl=attn_impl,
     )
+    base_rng = jax.random.PRNGKey(seed)
 
     def step_fn(state: TrainState, frozen, batch):
+        dropout_rng = (
+            jax.random.fold_in(base_rng, state.step) if lora_dropout > 0.0 else None
+        )
         (loss, metrics), grads = jax.value_and_grad(
-            lambda t: compute_loss(t, frozen, batch, **loss_kwargs), has_aux=True
+            lambda t: compute_loss(
+                t, frozen, batch, dropout_rng=dropout_rng, **loss_kwargs
+            ),
+            has_aux=True,
         )(state.trainable)
         updates, opt_state = optimizer.update(grads, state.opt_state, state.trainable)
         trainable = optax.apply_updates(state.trainable, updates)

@@ -159,3 +159,43 @@ class TestCollator:
         # the injected [PAD] separators must be masked out of attention
         pad_positions = tb.query_ids == tk.pad_token_id
         assert (tb.query_mask[pad_positions] == 0).all()
+
+
+class TestLoRADropout:
+    def test_dropout_changes_loss_across_steps(self, setup):
+        cfg, frozen, proc, tk = setup
+        import optax
+        from mimic_tpu.train import make_train_step
+        enc, peft = get_preset("lora")
+        lora = init_lora_params(peft.lora, cfg.text, jax.random.PRNGKey(2))
+        # nonzero B so the adapter path actually contributes
+        lora = {k: (jnp.ones_like(v) * 0.05 if k.endswith("_b") else v) for k, v in lora.items()}
+        tx = optax.sgd(0.0)  # frozen optimizer: loss differences come from dropout only
+        step = make_train_step(
+            cfg, enc, tx, ce_loss_weight=1.0, align_loss_weight=0.0,
+            lora_scaling=peft.lora.scaling(), lora_dropout=0.5, donate=False,
+        )
+        collator = TrainCollator(proc, enc.strategy())
+        batch = _to_device_batch(collator(string_batch()))
+        state = TrainState({"lora": lora}, tx.init({"lora": lora}), jnp.zeros((), jnp.int32))
+        s1, m1 = step(state, frozen, batch)
+        s2, m2 = step(s1, frozen, batch)  # step counter advanced → new dropout mask
+        assert float(m1["loss"]) != float(m2["loss"])
+
+    def test_no_dropout_deterministic(self, setup):
+        cfg, frozen, proc, tk = setup
+        import optax
+        from mimic_tpu.train import make_train_step
+        enc, peft = get_preset("lora")
+        lora = init_lora_params(peft.lora, cfg.text, jax.random.PRNGKey(2))
+        tx = optax.sgd(0.0)
+        step = make_train_step(
+            cfg, enc, tx, ce_loss_weight=1.0, align_loss_weight=0.0,
+            lora_scaling=peft.lora.scaling(), lora_dropout=0.0, donate=False,
+        )
+        collator = TrainCollator(proc, enc.strategy())
+        batch = _to_device_batch(collator(string_batch()))
+        state = TrainState({"lora": lora}, tx.init({"lora": lora}), jnp.zeros((), jnp.int32))
+        s1, m1 = step(state, frozen, batch)
+        s2, m2 = step(s1, frozen, batch)
+        assert float(m1["loss"]) == float(m2["loss"])
