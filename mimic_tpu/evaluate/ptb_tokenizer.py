@@ -63,7 +63,21 @@ def _split_contractions(token: str) -> List[str]:
 
 
 def ptb_tokenize(line: str, lowercase: bool = True) -> List[str]:
-    """Tokenize one caption line; returns the token list including punctuation."""
+    """Tokenize one caption line; returns the token list including punctuation.
+
+    Dispatches to the C++ implementation (``mimic_tpu.native``) when available —
+    the Python path below is the behavioral oracle and fallback.
+    """
+    from ..native import ptb_tokenize_native
+
+    native = ptb_tokenize_native(line, lowercase)
+    if native is not None:
+        return native
+    return ptb_tokenize_py(line, lowercase)
+
+
+def ptb_tokenize_py(line: str, lowercase: bool = True) -> List[str]:
+    """Pure-Python reference implementation."""
     if lowercase:
         line = line.lower()
     line = line.replace("\n", " ")
