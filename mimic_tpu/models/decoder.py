@@ -192,7 +192,12 @@ def _self_attention(
     drop_keys=None,
     drop_rate: float = 0.0,
 ) -> Tuple[jnp.ndarray, Optional[jnp.ndarray], Optional[jnp.ndarray]]:
-    """Returns (attn block output [B,T,D], new_cache_k, new_cache_v)."""
+    """Returns (attn block output [B,T,D], new_k_block, new_v_block).
+
+    With a cache, the cache refs stay READ-ONLY: attention runs in two parts
+    (cache + current block, ``cached_attention``) and the new k/v blocks are
+    returned for a single post-scan cache append — no full-cache copy per layer.
+    """
     B, T, _ = x.shape
     q, k, v = _project_qkv(lp, ad, x, cfg, lora_scaling, drop_keys, drop_rate)
     q, k = apply_rope(q, k, cos, sin)
@@ -201,12 +206,28 @@ def _self_attention(
         k = rms_norm(k, lp["k_ln"], cfg.norm_eps)
 
     if cache_k is not None:
-        # insert current keys/values at [cache_len, cache_len+T)
-        cache_k = jax.lax.dynamic_update_slice(cache_k, k.astype(cache_k.dtype), (0, cache_len, 0, 0))
-        cache_v = jax.lax.dynamic_update_slice(cache_v, v.astype(cache_v.dtype), (0, cache_len, 0, 0))
-        k_all, v_all = cache_k, cache_v
-    else:
-        k_all, v_all = k, v
+        from .layers import cached_attention
+
+        key_mask_new = jax.lax.dynamic_slice(
+            key_mask, (0, cache_len), (B, T)
+        )
+        attn, lse, lse_u = cached_attention(
+            q, k, v, cache_k, cache_v, cache_len, key_mask, key_mask_new
+        )
+        if ls:
+            log_z2 = lse if logz2 == "masked" else lse_u
+            attn = apply_attn_shift(ls, q, log_z2, attn, multi_head)
+        attn_flat = attn.reshape(B, T, -1)
+        out = jnp.dot(attn_flat, lp["o_proj"])
+        do = _lora_delta(
+            ad, "o", attn_flat, lora_scaling,
+            None if drop_keys is None else drop_keys[3], drop_rate,
+        )
+        if do is not None:
+            out = out + do
+        return out, k, v
+
+    k_all, v_all = k, v
 
     if use_flash:
         # Pallas fused path: causal + key-padding handled in-kernel; both the
@@ -239,7 +260,7 @@ def _self_attention(
     )
     if do is not None:
         out = out + do
-    return out, cache_k, cache_v
+    return out, None, None
 
 
 def _cross_attention(
@@ -316,6 +337,8 @@ def decoder_forward(
 
     use_cache = kv_cache is not None
     cache_len = kv_cache["length"] if use_cache else jnp.zeros((), jnp.int32)
+    if use_cache and key_mask is None:
+        key_mask = jnp.ones((B, kv_cache["k"].shape[2]), jnp.int32)
     use_flash = (
         attn_impl == "flash"
         and not use_cache
@@ -333,7 +356,7 @@ def decoder_forward(
         layer_in = h
         residual = h
         hn = rms_norm(h, lp["input_ln"], cfg.norm_eps)
-        attn_out, ck, cv = _self_attention(
+        attn_out, k_new, v_new = _self_attention(
             lp, ls, ad, hn, cos, sin, attn_mask, cfg, ck, cv, cache_len,
             multi_head, logz2, lora_scaling, key_mask=key_mask, use_flash=use_flash,
             drop_keys=dkeys, drop_rate=lora_dropout if use_dropout else 0.0,
@@ -359,8 +382,8 @@ def decoder_forward(
         if capture_layer_inputs:
             ys["layer_in"] = layer_in
         if use_cache:
-            ys["k"] = ck
-            ys["v"] = cv
+            ys["k"] = k_new
+            ys["v"] = v_new
         return h, ys
 
     layers = params["layers"]
@@ -461,7 +484,15 @@ def decoder_forward(
 
     new_cache = None
     if use_cache:
-        new_cache = {"k": ys["k"], "v": ys["v"], "length": cache_len + T}
+        # single append of all layers' new k/v blocks ([L,B,T,Hkv,Dh]) into the
+        # carried cache — the per-layer full-cache copies are gone
+        new_k = jax.lax.dynamic_update_slice(
+            kv_cache["k"], ys["k"].astype(kv_cache["k"].dtype), (0, 0, cache_len, 0, 0)
+        )
+        new_v = jax.lax.dynamic_update_slice(
+            kv_cache["v"], ys["v"].astype(kv_cache["v"].dtype), (0, 0, cache_len, 0, 0)
+        )
+        new_cache = {"k": new_k, "v": new_v, "length": cache_len + T}
     return DecoderOutput(
         hidden=h,
         attn_capture=ys.get("attn") if capture_attn else None,

@@ -109,6 +109,67 @@ def sdpa_with_lse(
     return out, jnp.transpose(lse, (0, 2, 1))  # lse → [B,T,H]
 
 
+def cached_attention(
+    q: jnp.ndarray,        # [B,T,H,D] current queries
+    k_new: jnp.ndarray,    # [B,T,Hkv,D] current keys (kv heads, not expanded)
+    v_new: jnp.ndarray,    # [B,T,Hkv,D]
+    cache_k: jnp.ndarray,  # [B,S,Hkv,D] read-only cache
+    cache_v: jnp.ndarray,  # [B,S,Hkv,D]
+    cache_len,             # scalar: number of written cache slots
+    key_mask: jnp.ndarray, # [B,S] slot validity over the full timeline (padding)
+    key_mask_new: jnp.ndarray,  # [B,T] validity of the current block's tokens
+    scale: Optional[float] = None,
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Two-part attention for autoregressive decode/prefill with a KV cache.
+
+    The current block's keys are NOT written into the cache here (the caller
+    appends them once, outside the layer scan) — the cache stays a read-only
+    scan input, eliminating the full-cache copy per layer per step.  GQA is
+    handled by grouped einsums (no materialized head expansion).
+
+    Masks: cache part = slot < cache_len AND key_mask; current part = causal
+    within the block AND key_mask_new.  Returns (out [B,T,H,D], lse [B,T,H],
+    lse_unmasked [B,T,H]) where the unmasked variant spans exactly the written
+    cache slots + current block, ignoring padding/causality (reference do_shift
+    semantics — its live k tensor contains exactly those positions).
+    """
+    B, T, H, D = q.shape
+    S, Hkv = cache_k.shape[1], cache_k.shape[2]
+    G = H // Hkv
+    scale = scale if scale is not None else 1.0 / (D**0.5)
+    qg = (q.astype(jnp.float32) * scale).reshape(B, T, Hkv, G, D)
+    s_cache = jnp.einsum(
+        "btkgd,bskd->bkgts", qg, cache_k.astype(jnp.float32)
+    )  # [B,Hkv,G,T,S]
+    s_new = jnp.einsum("btkgd,bskd->bkgts", qg, k_new.astype(jnp.float32))
+
+    slot = jnp.arange(S)[None, None, None, None, :]
+    written = slot < cache_len
+    cache_mask = written & key_mask[:, None, None, None, :].astype(bool)
+    causal = jnp.tril(jnp.ones((T, T), bool))[None, None, None]
+    new_mask = causal & key_mask_new[:, None, None, None, :].astype(bool)
+
+    masked_cache = jnp.where(cache_mask, s_cache, NEG_INF)
+    masked_new = jnp.where(new_mask, s_new, NEG_INF)
+    all_scores = jnp.concatenate([masked_cache, masked_new], axis=-1)
+    lse = jax.nn.logsumexp(all_scores, axis=-1)  # [B,Hkv,G,T]
+    p = jnp.exp(all_scores - lse[..., None])
+    p_cache, p_new = p[..., :S], p[..., S:]
+    out = jnp.einsum("bkgts,bskd->btkgd", p_cache, cache_v.astype(jnp.float32))
+    out = out + jnp.einsum("bkgts,bskd->btkgd", p_new, v_new.astype(jnp.float32))
+    out = out.reshape(B, T, H, D).astype(q.dtype)
+
+    # unmasked logsumexp over written slots + full current block
+    u_cache = jnp.where(written, s_cache, NEG_INF)
+    u_all = jnp.concatenate([u_cache, s_new], axis=-1)
+    lse_u = jax.nn.logsumexp(u_all, axis=-1)
+
+    def to_bth(x):
+        return jnp.transpose(x.reshape(B, H, T), (0, 2, 1))
+
+    return out, to_bth(lse), to_bth(lse_u)
+
+
 def unmasked_lse(q: jnp.ndarray, k: jnp.ndarray, scale: Optional[float] = None) -> jnp.ndarray:
     """log Σ_s exp(q·k_s·scale) over *all* key positions, ignoring any mask.
 

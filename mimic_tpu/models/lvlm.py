@@ -157,14 +157,15 @@ def lvlm_forward(
             )
 
     if kv_cache is not None:
+        # cached two-part attention: only a 2D slot-validity mask is needed
+        # (causality and the written-slot cutoff are handled inside)
         total = kv_total_len or kv_cache["k"].shape[2]
-        mask4 = make_decode_mask(batch.attention_mask, total)
-        if input_ids.shape[1] > 1:
-            # prefill into an empty cache: causal within the block, nothing after
-            T = input_ids.shape[1]
-            causal = jnp.tril(jnp.ones((T, T), bool))
-            future = jnp.zeros((T, total - T), bool)
-            mask4 = mask4 & jnp.concatenate([causal, future], axis=-1)[None, None]
+        key_mask2d = batch.attention_mask
+        pad = total - key_mask2d.shape[1]
+        if pad > 0:
+            key_mask2d = jnp.pad(key_mask2d, ((0, 0), (0, pad)))
+        decoder_kwargs.setdefault("key_mask", key_mask2d)
+        mask4 = None
     else:
         mask4 = make_causal_mask(batch.attention_mask)
         # flash-eligible: mask is exactly causal + key padding
