@@ -92,6 +92,7 @@ def main():
         params, cfg, batch,
         max_new_tokens=10, num_beams=3,
         eos_token_id=tk.eos_token_id, pad_token_id=tk.pad_token_id,
+        attn_impl="flash",
     )
 
     def sync(result) -> float:

@@ -260,7 +260,7 @@ def _self_attention(
     )
     if do is not None:
         out = out + do
-    return out, None, None
+    return out, k, v
 
 
 def _cross_attention(
@@ -316,6 +316,7 @@ def decoder_forward(
     perturb_attn: Optional[jnp.ndarray] = None,
     perturb_ffn: Optional[jnp.ndarray] = None,
     remat: bool = False,
+    cache_empty: bool = False,
 ) -> DecoderOutput:
     """Run the decoder stack.
 
@@ -339,9 +340,12 @@ def decoder_forward(
     cache_len = kv_cache["length"] if use_cache else jnp.zeros((), jnp.int32)
     if use_cache and key_mask is None:
         key_mask = jnp.ones((B, kv_cache["k"].shape[2]), jnp.int32)
+    # cache_empty (static hint from prefill): attention only needs the current
+    # block — run the no-cache path (flash-eligible) and just append k/v after
+    attend_cacheless = not use_cache or cache_empty
     use_flash = (
         attn_impl == "flash"
-        and not use_cache
+        and attend_cacheless
         and key_mask is not None
         and T % 128 == 0
         and cfg.head_size % 128 == 0
@@ -357,8 +361,13 @@ def decoder_forward(
         residual = h
         hn = rms_norm(h, lp["input_ln"], cfg.norm_eps)
         attn_out, k_new, v_new = _self_attention(
-            lp, ls, ad, hn, cos, sin, attn_mask, cfg, ck, cv, cache_len,
-            multi_head, logz2, lora_scaling, key_mask=key_mask, use_flash=use_flash,
+            lp, ls, ad, hn, cos, sin, attn_mask, cfg,
+            None if attend_cacheless else ck,
+            None if attend_cacheless else cv,
+            cache_len,
+            multi_head, logz2, lora_scaling,
+            key_mask=key_mask if not (use_cache and cache_empty) else key_mask[:, :T],
+            use_flash=use_flash,
             drop_keys=dkeys, drop_rate=lora_dropout if use_dropout else 0.0,
         )
         attn_out = apply_output_shift(

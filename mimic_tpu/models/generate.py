@@ -29,7 +29,7 @@ class GenerateResult(NamedTuple):
     scores: jnp.ndarray  # [B] sequence scores (beam) or 0.0 (greedy)
 
 
-def _prefill(params, cfg, batch: LVLMBatch, total_len: int, shift, adapters, lora_scaling, logz2, dtype):
+def _prefill(params, cfg, batch: LVLMBatch, total_len: int, shift, adapters, lora_scaling, logz2, dtype, attn_impl="xla"):
     """Run the prompt through the model, returning (last_logits, cache, state)."""
     B, T = batch.input_ids.shape
     cache = init_kv_cache(cfg.text, B, total_len, dtype)
@@ -41,10 +41,12 @@ def _prefill(params, cfg, batch: LVLMBatch, total_len: int, shift, adapters, lor
         image_feats=image_feats,
         kv_cache=cache,
         kv_total_len=total_len,
+        cache_empty=True,
         shift=shift,
         adapters=adapters,
         lora_scaling=lora_scaling,
         logz2=logz2,
+        attn_impl=attn_impl,
     )
     last_logits = out.logits[:, -1]  # left padding → last position is the prompt end
     return last_logits, out.decoder.kv_cache, image_feats
@@ -57,7 +59,7 @@ def _decode_mask_row(attn_mask_full: jnp.ndarray) -> jnp.ndarray:
 @partial(
     jax.jit,
     static_argnames=(
-        "cfg", "max_new_tokens", "eos_token_id", "pad_token_id", "logz2",
+        "cfg", "max_new_tokens", "eos_token_id", "pad_token_id", "logz2", "attn_impl",
     ),
 )
 def greedy_generate(
@@ -71,12 +73,14 @@ def greedy_generate(
     adapters: Optional[Dict[str, jnp.ndarray]] = None,
     lora_scaling: float = 1.0,
     logz2: str = "unmasked",
+    attn_impl: str = "xla",
 ) -> GenerateResult:
     B, T = batch.input_ids.shape
     total = T + max_new_tokens
     dtype = jax.tree.leaves(params)[0].dtype
     last_logits, cache, image_feats = _prefill(
-        params, cfg, batch, total, shift, adapters, lora_scaling, logz2, dtype
+        params, cfg, batch, total, shift, adapters, lora_scaling, logz2, dtype,
+        attn_impl,
     )
 
     n_real = jnp.sum(batch.attention_mask, axis=-1)  # [B]
@@ -126,7 +130,7 @@ def greedy_generate(
 @partial(
     jax.jit,
     static_argnames=(
-        "cfg", "max_new_tokens", "num_beams", "eos_token_id", "pad_token_id", "logz2",
+        "cfg", "max_new_tokens", "num_beams", "eos_token_id", "pad_token_id", "logz2", "attn_impl",
     ),
 )
 def beam_generate(
@@ -142,6 +146,7 @@ def beam_generate(
     adapters: Optional[Dict[str, jnp.ndarray]] = None,
     lora_scaling: float = 1.0,
     logz2: str = "unmasked",
+    attn_impl: str = "xla",
 ) -> GenerateResult:
     """HF-semantics beam search (do_sample=False, early_stopping=False)."""
     B, T = batch.input_ids.shape
@@ -150,7 +155,8 @@ def beam_generate(
     dtype = jax.tree.leaves(params)[0].dtype
 
     last_logits, cache, image_feats = _prefill(
-        params, cfg, batch, total, shift, adapters, lora_scaling, logz2, dtype
+        params, cfg, batch, total, shift, adapters, lora_scaling, logz2, dtype,
+        attn_impl,
     )  # logits [B,V], cache leaves [L,B,S,...]
 
     V = last_logits.shape[-1]

@@ -127,6 +127,7 @@ def lvlm_forward(
     position_ids: Optional[jnp.ndarray] = None,
     kv_cache: Optional[Dict[str, jnp.ndarray]] = None,
     kv_total_len: Optional[int] = None,
+    cache_empty: bool = False,
     **decoder_kwargs,
 ) -> LMOutput:
     """Full forward.  ``image_feats`` may be precomputed (generation reuses them).
@@ -157,15 +158,22 @@ def lvlm_forward(
             )
 
     if kv_cache is not None:
-        # cached two-part attention: only a 2D slot-validity mask is needed
-        # (causality and the written-slot cutoff are handled inside)
-        total = kv_total_len or kv_cache["k"].shape[2]
-        key_mask2d = batch.attention_mask
-        pad = total - key_mask2d.shape[1]
-        if pad > 0:
-            key_mask2d = jnp.pad(key_mask2d, ((0, 0), (0, pad)))
-        decoder_kwargs.setdefault("key_mask", key_mask2d)
-        mask4 = None
+        if cache_empty:
+            # prefill: attention only covers the current block (flash-eligible);
+            # the decoder appends k/v into the empty cache afterwards
+            mask4 = make_causal_mask(batch.attention_mask)
+            decoder_kwargs.setdefault("key_mask", batch.attention_mask)
+            decoder_kwargs.setdefault("cache_empty", True)
+        else:
+            # cached two-part attention: only a 2D slot-validity mask is needed
+            # (causality and the written-slot cutoff are handled inside)
+            total = kv_total_len or kv_cache["k"].shape[2]
+            key_mask2d = batch.attention_mask
+            pad = total - key_mask2d.shape[1]
+            if pad > 0:
+                key_mask2d = jnp.pad(key_mask2d, ((0, 0), (0, pad)))
+            decoder_kwargs.setdefault("key_mask", key_mask2d)
+            mask4 = None
     else:
         mask4 = make_causal_mask(batch.attention_mask)
         # flash-eligible: mask is exactly causal + key padding

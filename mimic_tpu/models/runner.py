@@ -45,7 +45,7 @@ class LVLMRunner:
         adapters: Optional[Dict[str, jnp.ndarray]] = None,
         lora_scaling: float = 1.0,
         logz2: str = "unmasked",
-        pad_multiple: int = 64,
+        pad_multiple: int = 128,
         image_size: Optional[int] = None,
     ):
         self.cfg = cfg
@@ -116,6 +116,8 @@ class LVLMRunner:
         finally:
             self.tokenizer.padding_side = old_side
 
+        import jax
+
         common = dict(
             max_new_tokens=max_new_tokens,
             eos_token_id=self.tokenizer.eos_token_id,
@@ -124,6 +126,8 @@ class LVLMRunner:
             adapters=self.adapters,
             lora_scaling=self.lora_scaling,
             logz2=self.logz2,
+            # prefill runs the Pallas kernel on TPU (block-aligned via pad_multiple)
+            attn_impl="flash" if jax.default_backend() == "tpu" else "xla",
         )
         if num_beams > 1:
             result = beam_generate(

@@ -1,0 +1,23 @@
+#!/usr/bin/env bash
+# MimIC training + eval + analyze (reference scripts/run_mimic.sh analog).
+# Usage: run_mimic.sh -d vqav2 -m idefics2-8b-base -q 500 -s 16 [-r runname]
+set -euo pipefail
+
+RUNNAME="mimic"
+DATASET="vqav2"
+MODEL="idefics2-8b-base"
+QUERIES=500
+SHOTS=16
+while getopts "r:d:m:q:s:" opt; do
+  case $opt in
+    r) RUNNAME="$OPTARG" ;;
+    d) DATASET="$OPTARG" ;;
+    m) MODEL="$OPTARG" ;;
+    q) QUERIES="$OPTARG" ;;
+    s) SHOTS="$OPTARG" ;;
+    *) echo "usage: $0 [-r runname] [-d dataset] [-m model] [-q num_queries] [-s num_shots]"; exit 2 ;;
+  esac
+done
+
+exec python -m mimic_tpu pipeline \
+  -r "$RUNNAME" -m "$MODEL" -d "$DATASET" -q "$QUERIES" -s "$SHOTS" -p mimic
