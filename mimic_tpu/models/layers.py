@@ -137,11 +137,16 @@ def cached_attention(
     S, Hkv = cache_k.shape[1], cache_k.shape[2]
     G = H // Hkv
     scale = scale if scale is not None else 1.0 / (D**0.5)
-    qg = (q.astype(jnp.float32) * scale).reshape(B, T, Hkv, G, D)
+    # keep the cache in its storage dtype — casting it up would materialize a
+    # full fp32 copy per layer; fp32 accumulation happens inside the einsum
+    qg = (q.astype(jnp.float32) * scale).astype(q.dtype).reshape(B, T, Hkv, G, D)
     s_cache = jnp.einsum(
-        "btkgd,bskd->bkgts", qg, cache_k.astype(jnp.float32)
+        "btkgd,bskd->bkgts", qg, cache_k, preferred_element_type=jnp.float32
     )  # [B,Hkv,G,T,S]
-    s_new = jnp.einsum("btkgd,bskd->bkgts", qg, k_new.astype(jnp.float32))
+    s_new = jnp.einsum(
+        "btkgd,bskd->bkgts", qg, k_new.astype(cache_k.dtype),
+        preferred_element_type=jnp.float32,
+    )
 
     slot = jnp.arange(S)[None, None, None, None, :]
     written = slot < cache_len
@@ -153,10 +158,15 @@ def cached_attention(
     masked_new = jnp.where(new_mask, s_new, NEG_INF)
     all_scores = jnp.concatenate([masked_cache, masked_new], axis=-1)
     lse = jax.nn.logsumexp(all_scores, axis=-1)  # [B,Hkv,G,T]
-    p = jnp.exp(all_scores - lse[..., None])
+    p = jnp.exp(all_scores - lse[..., None]).astype(cache_v.dtype)
     p_cache, p_new = p[..., :S], p[..., S:]
-    out = jnp.einsum("bkgts,bskd->btkgd", p_cache, cache_v.astype(jnp.float32))
-    out = out + jnp.einsum("bkgts,bskd->btkgd", p_new, v_new.astype(jnp.float32))
+    out = jnp.einsum(
+        "bkgts,bskd->btkgd", p_cache, cache_v, preferred_element_type=jnp.float32
+    )
+    out = out + jnp.einsum(
+        "bkgts,bskd->btkgd", p_new, v_new.astype(cache_v.dtype),
+        preferred_element_type=jnp.float32,
+    )
     out = out.reshape(B, T, H, D).astype(q.dtype)
 
     # unmasked logsumexp over written slots + full current block
