@@ -303,9 +303,17 @@ def beam_generate(
         flat_parent = (
             jnp.arange(B)[:, None] * K + run_parent
         ).reshape(B * K)  # [B*K] into B*K rows
+        # the prompt region [0, T) of the cache is IDENTICAL across a row's beams
+        # (one prefill, tiled) — only the generated slots [T, T+max_new) diverge,
+        # so beam reordering gathers just that thin slice instead of the full cache
+        def reorder(c):
+            gen = jax.lax.dynamic_slice_in_dim(c, T, max_new_tokens, axis=2)
+            gen = jnp.take(gen, flat_parent, axis=1)
+            return jax.lax.dynamic_update_slice_in_dim(c, gen, T, axis=2)
+
         new_cache = {
-            "k": jnp.take(out.decoder.kv_cache["k"], flat_parent, axis=1),
-            "v": jnp.take(out.decoder.kv_cache["v"], flat_parent, axis=1),
+            "k": reorder(out.decoder.kv_cache["k"]),
+            "v": reorder(out.decoder.kv_cache["v"]),
             "length": out.decoder.kv_cache["length"],
         }
         new_state = _State(
