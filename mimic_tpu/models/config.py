@@ -253,6 +253,40 @@ def tiny_text(family: str = "idefics2", **kw) -> ModelConfig:
     )
 
 
+def llava_15_7b() -> ModelConfig:
+    """LLaVA-1.5 (LLaMA-7B text + CLIP-ViT-L/336, MLP projector).
+
+    The reference's testbed supports llava-1.5 wrappers (testbed/models/llava.py
+    HF_LLAVA["llava-1.5"]) even though its pipeline only drives llava-interleave.
+    """
+    return ModelConfig(
+        name="llava-1.5-7b",
+        family="llava-interleave",  # same inline-token architecture; template differs
+        text=TextConfig(
+            vocab_size=32064,
+            hidden_size=4096,
+            num_layers=32,
+            num_heads=32,
+            num_kv_heads=32,
+            intermediate_size=11008,
+            norm_eps=1e-5,
+            max_position_embeddings=4096,
+        ),
+        vision=VisionConfig(
+            hidden_size=1024,
+            num_layers=23,  # vision_feature_layer=-2
+            num_heads=16,
+            intermediate_size=4096,
+            image_size=336,
+            patch_size=14,
+            use_class_token=True,
+            hidden_act="quick_gelu",
+            norm_eps=1e-5,
+        ),
+        image_seq_len=(336 // 14) ** 2,
+    )
+
+
 def mistral_7b() -> ModelConfig:
     """Text-only Mistral tower (reference testbed/models/mistral.py surface)."""
     return ModelConfig(
@@ -296,6 +330,7 @@ MODEL_CONFIGS = {
     "idefics-9b": idefics_9b,
     "idefics2-8b-base": idefics2_8b_base,
     "llava-interleave-7b": llava_interleave_7b,
+    "llava-1.5-7b": llava_15_7b,
     "mistral-7b": mistral_7b,
     "qwen2-7b": qwen2_7b,
 }

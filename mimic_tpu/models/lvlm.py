@@ -85,6 +85,9 @@ def encode_images(
             params["perceiver"], cfg.perceiver, feats, context_mask=ctx_mask
         )
     elif cfg.family == "llava-interleave":
+        if cfg.vision.use_class_token:
+            # llava-1.5: vision_feature_select_strategy="default" drops the CLS token
+            feats = feats[:, 1:]
         feats = llava_project(params["projector"], feats)
     S = feats.shape[1]
     return feats.reshape(B, N * S, feats.shape[-1])
