@@ -47,6 +47,7 @@ class LVLMRunner:
         logz2: str = "unmasked",
         pad_multiple: int = 128,
         image_size: Optional[int] = None,
+        length_buckets: tuple = (),
     ):
         self.cfg = cfg
         self.params = params
@@ -58,6 +59,7 @@ class LVLMRunner:
         self.lora_scaling = lora_scaling
         self.logz2 = logz2
         self.pad_multiple = pad_multiple
+        self.length_buckets = tuple(length_buckets)
 
     @property
     def model_name(self) -> str:
@@ -112,7 +114,12 @@ class LVLMRunner:
                 else self.apply_prompt_template(text)
             )
             T = probe["input_ids"].shape[1]
-            batch = self.process_input(images, text, pad_to=_round_up(T, self.pad_multiple))
+            pad_to = _round_up(T, self.pad_multiple)
+            if self.length_buckets:
+                fitting = [b for b in self.length_buckets if b >= T]
+                if fitting:
+                    pad_to = min(fitting)
+            batch = self.process_input(images, text, pad_to=pad_to)
         finally:
             self.tokenizer.padding_side = old_side
 

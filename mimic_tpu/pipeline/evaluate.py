@@ -60,6 +60,9 @@ def run_eval(
     if adapter is None:
         adapter = build_adapter(cfg.data, splits=splits)
 
+    if cfg.data.length_buckets and hasattr(runner, "length_buckets"):
+        runner.length_buckets = tuple(cfg.data.length_buckets)
+
     if not cfg.is_icl:
         # load trained shift/adapters into the runner
         from ..train.checkpoints import load_trainable

@@ -65,3 +65,28 @@ class TestTextOnlyModels:
              {"role": "answer"}]
         )
         assert text.startswith("<|im_start|>question")
+
+
+class TestLengthBuckets:
+    def test_bucket_selection(self):
+        tk = SimpleTokenizer(padding_side="left")
+        cfg = get_model_config("tiny-idefics2").replace(
+            image_token_id=tk.image_token_id, pad_token_id=tk.pad_token_id,
+            bos_token_id=tk.bos_token_id, eos_token_id=tk.eos_token_id,
+        )
+        cfg = cfg.replace(
+            family="text", vision=None, perceiver=None, image_seq_len=0,
+            text=cfg.text.__class__(**{**cfg.text.__dict__, "vocab_size": tk.vocab_size}),
+        )
+        params = init_lvlm_params(cfg, jax.random.PRNGKey(0))
+        runner = LVLMRunner(cfg, params, tk, pad_multiple=16, length_buckets=(32, 64))
+        captured = {}
+        orig = runner.process_input
+
+        def spy(images, text, pad_to=None):
+            captured["pad_to"] = pad_to
+            return orig(images, text, pad_to=pad_to)
+
+        runner.process_input = spy
+        runner.generate(None, ["short text"], num_beams=1, max_new_tokens=2)
+        assert captured["pad_to"] == 32
