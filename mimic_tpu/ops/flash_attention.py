@@ -240,6 +240,30 @@ def _diff_fwd(q, k, v, key_mask, causal, scale, block_q, block_k, need_unmasked,
 
 
 def _diff_bwd(causal, scale, block_q, block_k, need_unmasked, interpret, res, cts):
+    q, k, v, key_mask, out, lse, lse_u = res
+    g_out, g_lse, g_lse_u = cts
+    B, T, H, D = q.shape
+    S = k.shape[1]
+    bq, bk = min(256, T), min(256, S)
+    # the kernels avoid the O(T·S) score materialization; they beat the fused XLA
+    # backward from ~2k·2k context upward (measured on v5e), below that XLA wins
+    big_enough = T * S >= 2_097_152
+    if big_enough and T % bq == 0 and S % bk == 0 and not interpret:
+        # Pallas backward kernels (flash_backward.py): no O(T·S) materialization
+        from .flash_backward import flash_attention_backward
+
+        dq, dk, dv = flash_attention_backward(
+            q, k, v, key_mask, out, lse, lse_u, g_out, g_lse, g_lse_u,
+            causal=causal, scale=scale, block_q=bq, block_k=bk,
+            need_unmasked=need_unmasked,
+        )
+        return dq, dk, dv, jnp.zeros_like(key_mask)
+    return _diff_bwd_jnp(
+        causal, scale, block_q, block_k, need_unmasked, interpret, res, cts
+    )
+
+
+def _diff_bwd_jnp(causal, scale, block_q, block_k, need_unmasked, interpret, res, cts):
     from ..models.layers import repeat_kv
 
     q, k, v, key_mask, out, lse, lse_u = res
