@@ -306,6 +306,7 @@ def decoder_forward(
     multi_head: bool = True,
     capture_attn: bool = False,
     capture_ffn: bool = False,
+    capture_gather_idx: Optional[jnp.ndarray] = None,
     kv_cache: Optional[Dict[str, jnp.ndarray]] = None,
     cross_states: Optional[jnp.ndarray] = None,
     cross_mask: Optional[jnp.ndarray] = None,
@@ -384,10 +385,23 @@ def decoder_forward(
             ffn_out = ffn_out + pf.astype(ffn_out.dtype)
         h = residual + ffn_out
         ys = {}
+
+        def _cap(x):
+            # capture only the selected token rows when a gather index is given —
+            # at 8B/4k-context scale the full [L,B,T,D] streams would cost
+            # gigabytes of HBM; the loss only reads ~M query tokens per sample
+            if capture_gather_idx is None:
+                return x
+            idx = jnp.broadcast_to(
+                capture_gather_idx[:, :, None],
+                capture_gather_idx.shape + (x.shape[-1],),
+            )
+            return jnp.take_along_axis(x, idx, axis=1)
+
         if capture_attn:
-            ys["attn"] = attn_out
+            ys["attn"] = _cap(attn_out)
         if capture_ffn:
-            ys["ffn"] = ffn_out
+            ys["ffn"] = _cap(ffn_out)
         if capture_layer_inputs:
             ys["layer_in"] = layer_in
         if use_cache:

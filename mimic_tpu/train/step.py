@@ -79,6 +79,7 @@ def compute_loss(
     metrics: Dict[str, jnp.ndarray] = {}
 
     need_prefix = strategy != Strategy.LM_LOSS
+    layer_wise = strategy.has_layer_wise()
     prefix_logits = prefix_attn = prefix_ffn = None
     if need_prefix:
         # record pass: frozen weights, adapters disabled (reference
@@ -87,6 +88,7 @@ def compute_loss(
             frozen, cfg, _full_lvlm_batch(batch),
             capture_attn=rec_attn, capture_ffn=rec_ffn, logz2=logz2,
             attn_impl=attn_impl,
+            capture_gather_idx=batch.get("prefix_q_idx") if layer_wise else None,
         )
         prefix_logits = jax.lax.stop_gradient(out1.logits)
         prefix_attn = jax.lax.stop_gradient(out1.decoder.attn_capture) if rec_attn else None
@@ -101,6 +103,7 @@ def compute_loss(
         lora_dropout=lora_dropout, dropout_rng=dropout_rng,
         multi_head=mh, capture_attn=rec_attn, capture_ffn=rec_ffn, logz2=logz2,
         attn_impl=pass2_impl,
+        capture_gather_idx=batch.get("shift_q_idx") if layer_wise else None,
     )
 
     if Strategy.LM_LOSS in strategy:
@@ -121,9 +124,14 @@ def compute_loss(
         ):
             if shift_cap is None or prefix_cap is None:
                 continue
+            # captures are already gathered at the query-token indices inside
+            # the decoder scan; identity indices keep the loss math unchanged
+            M = shift_cap.shape[2]
+            ident = jnp.broadcast_to(
+                jnp.arange(M)[None], (shift_cap.shape[1], M)
+            )
             part = loss_fn(
-                shift_cap, prefix_cap,
-                batch["shift_q_idx"], batch["prefix_q_idx"], batch["q_valid"],
+                shift_cap, prefix_cap, ident, ident, batch["q_valid"],
             )
             metrics[f"{name}_{suffix}"] = part
             align = align + part
