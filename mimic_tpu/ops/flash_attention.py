@@ -36,6 +36,14 @@ DEFAULT_BQ = 512
 DEFAULT_BK = 1024
 
 
+def _pick_block(n: int, cap: int) -> int:
+    """Largest hardware-friendly block ≤ cap that divides n (full length fallback)."""
+    for b in (cap, 1024, 512, 384, 256, 128, 64, 32, 16, 8):
+        if b <= cap and n % b == 0:
+            return b
+    return n
+
+
 def _kernel(
     kmask_ref,    # [1, 1, bk] int32
     q_ref,        # [1, 1, bq, D]
@@ -151,10 +159,8 @@ def flash_attention(
     S, Hkv = k.shape[1], k.shape[2]
     groups = H // Hkv
     scale = scale if scale is not None else 1.0 / (D**0.5)
-    bq = min(block_q, T)
-    bk = min(block_k, S)
-    if T % bq or S % bk:
-        raise ValueError(f"T={T}, S={S} must be divisible by blocks ({bq},{bk})")
+    bq = _pick_block(T, block_q)
+    bk = _pick_block(S, block_k)
 
     qt = q.transpose(0, 2, 1, 3)  # [B,H,T,D]
     kt = k.transpose(0, 2, 1, 3)

@@ -32,6 +32,14 @@ from jax.experimental.pallas import tpu as pltpu
 NEG = -1.0e30
 
 
+def _pick_block(n: int, cap: int) -> int:
+    """Largest hardware-friendly block ≤ cap that divides n (full length fallback)."""
+    for b in (cap, 1024, 512, 384, 256, 128, 64, 32, 16, 8):
+        if b <= cap and n % b == 0:
+            return b
+    return n
+
+
 def _recompute_ds(
     q_blk, k_blk, v_blk, g_out_blk, lse_blk, lse_u_blk, delta_blk, g_lse_blk,
     g_lse_u_blk, kmask_blk, q_start, ks, scale, causal, need_unmasked,
@@ -166,10 +174,8 @@ def flash_attention_backward(
     S, Hkv = k.shape[1], k.shape[2]
     G = H // Hkv
     scale = scale if scale is not None else 1.0 / (D**0.5)
-    bq = min(block_q, T)
-    bk = min(block_k, S)
-    if T % bq or S % bk:
-        raise ValueError(f"T={T}, S={S} must be divisible by blocks ({bq},{bk})")
+    bq = _pick_block(T, block_q)
+    bk = _pick_block(S, block_k)
 
     f32 = jnp.float32
     delta = jnp.sum(g_out.astype(f32) * out.astype(f32), axis=-1)  # [B,T,H]

@@ -61,7 +61,11 @@ def test_rectangular_blocks():
     np.testing.assert_allclose(np.asarray(lse_u), np.asarray(ref_lse_u), rtol=1e-5, atol=1e-5)
 
 
-def test_indivisible_raises():
+def test_odd_lengths_fall_back_to_full_blocks():
+    # lengths with no hardware-friendly divisor use the full length as one block
     q, k, v, key_mask = make_qkv(T=100, S=100)
-    with pytest.raises(ValueError):
-        flash_attention(q, k, v, key_mask, block_q=64, block_k=64, interpret=True)
+    out, lse, lse_u = flash_attention(
+        q, k, v, key_mask, block_q=64, block_k=64, interpret=True
+    )
+    ref_out, ref_lse, ref_lse_u = reference(q, k, v, key_mask, True)
+    np.testing.assert_allclose(np.asarray(lse_u), np.asarray(ref_lse_u), rtol=1e-5, atol=1e-5)
