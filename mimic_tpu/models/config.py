@@ -75,7 +75,12 @@ class VisionConfig:
 
 @dataclass(frozen=True)
 class PerceiverConfig:
-    """Perceiver resampler (idefics1) / connector (idefics2)."""
+    """Perceiver resampler (idefics1) / connector (idefics2).
+
+    ``style="idefics2"``: RMSNorm + gated-SiLU MLP + GQA (Idefics2PerceiverResampler).
+    ``style="idefics1"``: LayerNorm(+bias) + ReLU MLP + optional per-head
+    qk-layernorms (IdeficsPerceiverResampler).
+    """
 
     num_latents: int = 64
     num_layers: int = 3
@@ -83,6 +88,8 @@ class PerceiverConfig:
     num_kv_heads: Optional[int] = None  # idefics2 connector uses GQA in the perceiver
     head_dim: Optional[int] = None
     intermediate_size: Optional[int] = None
+    style: str = "idefics2"
+    qk_layernorm: bool = False
 
 
 @dataclass(frozen=True)
@@ -137,7 +144,10 @@ def idefics_9b() -> ModelConfig:
             hidden_act="quick_gelu",
             norm_eps=1e-5,
         ),
-        perceiver=PerceiverConfig(num_latents=64, num_layers=6, num_heads=16),
+        perceiver=PerceiverConfig(
+            num_latents=64, num_layers=6, num_heads=16, style="idefics1",
+            qk_layernorm=True,
+        ),
         image_seq_len=0,  # idefics1 feeds vision via cross-attention, not inline tokens
     )
 
@@ -234,7 +244,11 @@ def tiny_text(family: str = "idefics2", **kw) -> ModelConfig:
         use_class_token=(family == "idefics1"),
     )
     perceiver = (
-        PerceiverConfig(num_latents=4, num_layers=2, num_heads=2)
+        PerceiverConfig(
+            num_latents=4, num_layers=2, num_heads=2,
+            style="idefics1" if family == "idefics1" else "idefics2",
+            qk_layernorm=family == "idefics1",
+        )
         if family in ("idefics1", "idefics2")
         else None
     )

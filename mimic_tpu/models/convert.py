@@ -176,7 +176,27 @@ def _convert_idefics2_connector(sd: StateDict, cfg: ModelConfig) -> Dict:
     }
 
 
+def _normalize_llava_keys(sd: StateDict) -> StateDict:
+    """Map the newer transformers layout (model.language_model.*) onto the
+    released-checkpoint layout (language_model.model.*) this converter targets."""
+    if "model.language_model.embed_tokens.weight" not in sd:
+        return sd
+    out = {}
+    for k, v in sd.items():
+        if k.startswith("model.language_model."):
+            k = "language_model.model." + k[len("model.language_model."):]
+        elif k.startswith("model.vision_tower."):
+            k = "vision_tower." + k[len("model.vision_tower."):]
+        elif k.startswith("model.multi_modal_projector."):
+            k = "multi_modal_projector." + k[len("model.multi_modal_projector."):]
+        out[k] = v
+    if "lm_head.weight" in sd:
+        out["language_model.lm_head.weight"] = sd["lm_head.weight"]
+    return out
+
+
 def convert_llava_interleave(sd: StateDict, cfg: ModelConfig) -> Dict:
+    sd = _normalize_llava_keys(sd)
     lm = convert_decoder(sd, "language_model.model.", cfg.text, attn_bias=True)
     return {
         "lm": {
@@ -227,23 +247,37 @@ def convert_idefics1(sd: StateDict, cfg: ModelConfig) -> Dict:
         cross["k_ln"] = _stack(sd, pre + "cross_attn.k_layer_norm.weight", G, _identity)
     lm["cross"] = cross
 
+    # HF IdeficsPerceiverResampler layout (verified against transformers
+    # idefics/perceiver.py): blocks.{i}.0 = attention (context/latents layer norms,
+    # q/k/v/output_proj, optional qk layer norms), blocks.{i}.1 = ReLU MLP
+    # (ln, fc, c_proj), plus a final layer_norm.
     pv = "model.perceiver_resampler."
     pc = cfg.perceiver
+    L = pc.num_layers
+    layers = {
+        "ln_context_w": _stack(sd, pv + "blocks.{i}.0.context_layer_norm.weight", L, _identity),
+        "ln_context_b": _stack(sd, pv + "blocks.{i}.0.context_layer_norm.bias", L, _identity),
+        "ln_latents_w": _stack(sd, pv + "blocks.{i}.0.latents_layer_norm.weight", L, _identity),
+        "ln_latents_b": _stack(sd, pv + "blocks.{i}.0.latents_layer_norm.bias", L, _identity),
+        "q_proj": _stack(sd, pv + "blocks.{i}.0.q_proj.weight", L),
+        "k_proj": _stack(sd, pv + "blocks.{i}.0.k_proj.weight", L),
+        "v_proj": _stack(sd, pv + "blocks.{i}.0.v_proj.weight", L),
+        "o_proj": _stack(sd, pv + "blocks.{i}.0.output_proj.weight", L),
+        "mlp_ln_w": _stack(sd, pv + "blocks.{i}.1.ln.weight", L, _identity),
+        "mlp_ln_b": _stack(sd, pv + "blocks.{i}.1.ln.bias", L, _identity),
+        "fc": _stack(sd, pv + "blocks.{i}.1.fc.weight", L),
+        "c_proj": _stack(sd, pv + "blocks.{i}.1.c_proj.weight", L),
+    }
+    if pv + "blocks.0.0.q_layer_norm.weight" in sd:
+        layers["q_ln_w"] = _stack(sd, pv + "blocks.{i}.0.q_layer_norm.weight", L, _identity)
+        layers["q_ln_b"] = _stack(sd, pv + "blocks.{i}.0.q_layer_norm.bias", L, _identity)
+        layers["k_ln_w"] = _stack(sd, pv + "blocks.{i}.0.k_layer_norm.weight", L, _identity)
+        layers["k_ln_b"] = _stack(sd, pv + "blocks.{i}.0.k_layer_norm.bias", L, _identity)
     perceiver = {
         "latents": np.asarray(sd[pv + "latents"]),
-        "layers": {
-            "ln_latents": _stack(sd, pv + "blocks.{i}.0.ln_1.weight", pc.num_layers, _identity),
-            "ln_context": _stack(sd, pv + "blocks.{i}.0.ln_media.weight", pc.num_layers, _identity),
-            "q_proj": _stack(sd, pv + "blocks.{i}.0.q_layer.weight", pc.num_layers),
-            "k_proj": _stack(sd, pv + "blocks.{i}.0.k_layer.weight", pc.num_layers),
-            "v_proj": _stack(sd, pv + "blocks.{i}.0.v_layer.weight", pc.num_layers),
-            "o_proj": _stack(sd, pv + "blocks.{i}.0.output_layer.weight", pc.num_layers),
-            "post_ln": _stack(sd, pv + "blocks.{i}.1.ln.weight", pc.num_layers, _identity),
-            "gate_proj": _stack(sd, pv + "blocks.{i}.1.fc.weight", pc.num_layers),
-            "up_proj": _stack(sd, pv + "blocks.{i}.1.fc.weight", pc.num_layers),
-            "down_proj": _stack(sd, pv + "blocks.{i}.1.c_proj.weight", pc.num_layers),
-        },
-        "final_ln": np.asarray(sd.get(pv + "ln_post.weight", np.ones(cfg.vision.hidden_size, np.float32))),
+        "layers": layers,
+        "final_ln_w": np.asarray(sd[pv + "layer_norm.weight"]),
+        "final_ln_b": np.asarray(sd[pv + "layer_norm.bias"]),
     }
     return {
         "lm": {"embed": embed, "decoder": lm, "lm_head": head},

@@ -78,11 +78,14 @@ def encode_images(
     ctx_mask = flat_patch.reshape(B * N, -1) if flat_patch is not None else None
     if cfg.family == "idefics2":
         feats = perceiver_forward(
-            params["connector"], cfg.perceiver, feats, context_mask=ctx_mask
+            params["connector"], cfg.perceiver, feats,
+            norm_eps=cfg.text.norm_eps, context_mask=ctx_mask,
         )
     elif cfg.family == "idefics1":
+        # HF IdeficsPerceiverResampler uses torch LayerNorm defaults (eps 1e-5)
         feats = perceiver_forward(
-            params["perceiver"], cfg.perceiver, feats, context_mask=ctx_mask
+            params["perceiver"], cfg.perceiver, feats,
+            norm_eps=1e-5, context_mask=ctx_mask,
         )
     elif cfg.family == "llava-interleave":
         if cfg.vision.use_class_token:

@@ -167,9 +167,12 @@ def init_perceiver_params(
     dtype=jnp.float32,
     project_first: bool = False,
 ) -> Params:
-    """IDEFICS-1 style (``project_first=False``): latents live in ``vision_dim``.
+    """IDEFICS-1 style (``project_first=False``): latents live in ``vision_dim``;
+    LayerNorm + ReLU MLP + optional per-head qk-layernorms
+    (HF ``IdeficsPerceiverResampler``).
     IDEFICS-2 connector (``project_first=True``): vision features are first
-    MLP-projected to ``out_dim`` and the perceiver runs in ``out_dim`` with RMSNorm."""
+    MLP-projected to ``out_dim`` and the perceiver runs in ``out_dim`` with
+    RMSNorm + gated-SiLU MLP (HF ``Idefics2PerceiverResampler``)."""
     H = pcfg.num_heads
     Hkv = pcfg.num_kv_heads or H
     width = out_dim if project_first else vision_dim
@@ -177,6 +180,32 @@ def init_perceiver_params(
     F = pcfg.intermediate_size or 4 * width
     L = pcfg.num_layers
     keys = iter(jax.random.split(key, 12))
+    if pcfg.style == "idefics1":
+        layers = {
+            "ln_latents_w": jnp.ones((L, width), dtype),
+            "ln_latents_b": jnp.zeros((L, width), dtype),
+            "ln_context_w": jnp.ones((L, width), dtype),
+            "ln_context_b": jnp.zeros((L, width), dtype),
+            "q_proj": _dense(next(keys), (L, width, H * Dh), dtype),
+            "k_proj": _dense(next(keys), (L, width, Hkv * Dh), dtype),
+            "v_proj": _dense(next(keys), (L, width, Hkv * Dh), dtype),
+            "o_proj": _dense(next(keys), (L, H * Dh, width), dtype),
+            "mlp_ln_w": jnp.ones((L, width), dtype),
+            "mlp_ln_b": jnp.zeros((L, width), dtype),
+            "fc": _dense(next(keys), (L, width, F), dtype),
+            "c_proj": _dense(next(keys), (L, F, width), dtype),
+        }
+        if pcfg.qk_layernorm:
+            layers["q_ln_w"] = jnp.ones((L, Dh), dtype)
+            layers["q_ln_b"] = jnp.zeros((L, Dh), dtype)
+            layers["k_ln_w"] = jnp.ones((L, Dh), dtype)
+            layers["k_ln_b"] = jnp.zeros((L, Dh), dtype)
+        return {
+            "latents": _dense(next(keys), (pcfg.num_latents, width), dtype),
+            "layers": layers,
+            "final_ln_w": jnp.ones((width,), dtype),
+            "final_ln_b": jnp.zeros((width,), dtype),
+        }
     params: Params = {
         "latents": _dense(next(keys), (pcfg.num_latents, width), dtype),
         "layers": {
@@ -215,6 +244,9 @@ def perceiver_forward(
     then a gated MLP; both with residuals.  ``context_mask`` [B, N] masks padded
     vision patches out of the cross-attention keys (idefics2 variable aspect).
     """
+    if pcfg.style == "idefics1":
+        return _perceiver_idefics1(params, pcfg, vision_feats, norm_eps, context_mask)
+
     if "modality_proj" in params:
         mp = params["modality_proj"]
         gate = jax.nn.silu(jnp.dot(vision_feats, mp["gate"]))
@@ -258,6 +290,54 @@ def perceiver_forward(
 
     latents, _ = jax.lax.scan(step, latents, params["layers"])
     return rms_norm(latents, params["final_ln"], norm_eps)
+
+
+def _perceiver_idefics1(
+    params: Params,
+    pcfg: PerceiverConfig,
+    vision_feats: jnp.ndarray,
+    norm_eps: float,
+    context_mask: Optional[jnp.ndarray],
+) -> jnp.ndarray:
+    """HF IdeficsPerceiverResampler semantics: per layer,
+    latents += attn(ln(context)⊕ln(latents), q=ln(latents)); latents += ReLU-MLP;
+    final LayerNorm."""
+    B = vision_feats.shape[0]
+    width = vision_feats.shape[-1]
+    H = pcfg.num_heads
+    Dh = pcfg.head_dim or width // H
+    n_lat = params["latents"].shape[0]
+    latents = jnp.broadcast_to(
+        params["latents"][None], (B, n_lat, width)
+    ).astype(vision_feats.dtype)
+
+    kv_mask = None
+    if context_mask is not None:
+        full = jnp.concatenate(
+            [context_mask.astype(bool), jnp.ones((B, n_lat), bool)], axis=1
+        )
+        kv_mask = full[:, None, None, :]
+
+    def step(lat, lp):
+        ctx_n = layer_norm(vision_feats, lp["ln_context_w"], lp["ln_context_b"], norm_eps)
+        lat_n = layer_norm(lat, lp["ln_latents_w"], lp["ln_latents_b"], norm_eps)
+        kv_in = jnp.concatenate([ctx_n, lat_n], axis=1)
+        nq, nk = lat_n.shape[1], kv_in.shape[1]
+        q = jnp.dot(lat_n, lp["q_proj"]).reshape(B, nq, H, Dh)
+        k = jnp.dot(kv_in, lp["k_proj"]).reshape(B, nk, H, Dh)
+        v = jnp.dot(kv_in, lp["v_proj"]).reshape(B, nk, H, Dh)
+        if "q_ln_w" in lp:
+            q = layer_norm(q, lp["q_ln_w"], lp["q_ln_b"], norm_eps)
+            k = layer_norm(k, lp["k_ln_w"], lp["k_ln_b"], norm_eps)
+        attn, _ = sdpa_with_lse(q, k, v, kv_mask)
+        lat = lat + jnp.dot(attn.reshape(B, nq, H * Dh), lp["o_proj"])
+        m = layer_norm(lat, lp["mlp_ln_w"], lp["mlp_ln_b"], norm_eps)
+        m = jnp.maximum(jnp.dot(m, lp["fc"]), 0.0)
+        lat = lat + jnp.dot(m, lp["c_proj"])
+        return lat, None
+
+    latents, _ = jax.lax.scan(step, latents, params["layers"])
+    return layer_norm(latents, params["final_ln_w"], params["final_ln_b"], norm_eps)
 
 
 # ---------------------------------------------------------------------------
