@@ -147,6 +147,6 @@ def ring_attention_sharded(
             P(None, axis_name),
         ),
         out_specs=(P(None, axis_name), P(None, axis_name), P(None, axis_name)),
-        check_rep=False,
+        check_vma=False,
     )
     return fn(q, k, v, key_mask)
