@@ -76,11 +76,24 @@ def _spec_for(path_str: str, ndim: int) -> P:
 
 
 def param_shardings(params: Dict[str, Any], mesh: Mesh) -> Dict[str, Any]:
-    """Build a NamedSharding tree for a parameter pytree by key-path rules."""
+    """Build a NamedSharding tree for a parameter pytree by key-path rules.
+
+    Axes whose dimension is not divisible by the mesh axis size fall back to
+    replication on that dimension (e.g. a 32003-row vocab under 8-way model
+    parallelism stays replicated rather than erroring)."""
 
     def spec(path, leaf):
         path_str = jax.tree_util.keystr(path)
-        return NamedSharding(mesh, _spec_for(path_str, np.ndim(leaf)))
+        p = _spec_for(path_str, np.ndim(leaf))
+        shape = np.shape(leaf)
+        fixed = []
+        for dim, axis in enumerate(p):
+            if axis is None:
+                fixed.append(None)
+                continue
+            size = mesh.shape[axis]
+            fixed.append(axis if shape[dim] % size == 0 else None)
+        return NamedSharding(mesh, P(*fixed))
 
     return jax.tree_util.tree_map_with_path(spec, params)
 
