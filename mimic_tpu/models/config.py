@@ -31,7 +31,8 @@ class TextConfig:
     norm_eps: float = 1e-5
     rope_theta: float = 10000.0
     max_position_embeddings: int = 4096
-    qk_layernorm: bool = False      # idefics-9b self/cross attn
+    qk_layernorm: bool = False      # per-head RMS norms in self-attention
+    cross_qk_layernorm: bool = False  # idefics-9b gated cross-attention
     attn_bias: bool = False         # qwen2 uses bias on q/k/v projections
     tie_word_embeddings: bool = False
     sliding_window: Optional[int] = None
@@ -66,6 +67,9 @@ class VisionConfig:
     norm_eps: float = 1e-6
     use_class_token: bool = False    # CLIP yes, SigLIP no
     hidden_act: str = "gelu_tanh"    # SigLIP "gelu_tanh", CLIP "quick_gelu"
+    # llava takes vision_feature_layer=-2: features leave the tower before the
+    # final norm, so the post-layernorm is skipped entirely
+    post_layernorm: bool = True
 
     @property
     def num_patches(self) -> int:
@@ -128,7 +132,10 @@ def idefics_9b() -> ModelConfig:
             num_kv_heads=32,
             intermediate_size=11008,
             norm_eps=1e-6,
-            qk_layernorm=True,
+            # HF IdeficsDecoderLayer self-attention has NO qk-layernorms even when
+            # config.qk_layer_norms is set; only the gated cross-attention does
+            qk_layernorm=False,
+            cross_qk_layernorm=True,
             cross_attn_interval=4,
             cross_kv_dim=1280,
             max_position_embeddings=2048,
@@ -210,6 +217,7 @@ def llava_interleave_7b() -> ModelConfig:
             patch_size=14,
             use_class_token=False,
             hidden_act="gelu_tanh",
+            post_layernorm=False,
         ),
         image_seq_len=(384 // 14) ** 2,  # 729 tokens per image
     )
@@ -230,7 +238,7 @@ def tiny_text(family: str = "idefics2", **kw) -> ModelConfig:
         intermediate_size=128,
     )
     if family == "idefics1":
-        base.update(num_kv_heads=4, qk_layernorm=True, cross_attn_interval=2, cross_kv_dim=32)
+        base.update(num_kv_heads=4, cross_qk_layernorm=True, cross_attn_interval=2, cross_kv_dim=32)
     elif family == "llava-interleave":
         base.update(attn_bias=True)
     base.update(kw)
@@ -242,6 +250,7 @@ def tiny_text(family: str = "idefics2", **kw) -> ModelConfig:
         image_size=28,
         patch_size=14,
         use_class_token=(family == "idefics1"),
+        post_layernorm=(family != "llava-interleave"),
     )
     perceiver = (
         PerceiverConfig(
@@ -296,6 +305,7 @@ def llava_15_7b() -> ModelConfig:
             use_class_token=True,
             hidden_act="quick_gelu",
             norm_eps=1e-5,
+            post_layernorm=False,
         ),
         image_seq_len=(336 // 14) ** 2,
     )

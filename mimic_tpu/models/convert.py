@@ -98,12 +98,18 @@ def convert_decoder(sd: StateDict, prefix: str, cfg, attn_bias: bool) -> Dict:
     return {"layers": layers, "final_ln": np.asarray(sd[prefix + "norm.weight"])}
 
 
-def convert_vit(sd: StateDict, prefix: str, vcfg) -> Dict:
+def convert_vit(sd: StateDict, prefix: str, vcfg, post_layernorm: bool = True) -> Dict:
     L = vcfg.num_layers
     p: Dict = {
         "patch_embed": {
             "kernel": _conv_to_dense(sd[prefix + "embeddings.patch_embedding.weight"]),
-            "bias": np.asarray(sd[prefix + "embeddings.patch_embedding.bias"]),
+            # CLIP-style towers (idefics1) have no patch-conv bias
+            "bias": np.asarray(
+                sd.get(
+                    prefix + "embeddings.patch_embedding.bias",
+                    np.zeros(vcfg.hidden_size, np.float32),
+                )
+            ),
         },
         "pos_embed": np.asarray(sd[prefix + "embeddings.position_embedding.weight"]),
         "layers": {
@@ -124,8 +130,18 @@ def convert_vit(sd: StateDict, prefix: str, vcfg) -> Dict:
             "fc2": _stack(sd, prefix + "encoder.layers.{i}.mlp.fc2.weight", L),
             "fc2_bias": _stack(sd, prefix + "encoder.layers.{i}.mlp.fc2.bias", L, _identity),
         },
-        "post_ln_w": np.asarray(sd[prefix + "post_layernorm.weight"]),
-        "post_ln_b": np.asarray(sd[prefix + "post_layernorm.bias"]),
+        # llava takes vision_feature_layer=-2: features leave the tower BEFORE
+        # the final norm, so the converted post-layernorm becomes identity
+        "post_ln_w": (
+            np.asarray(sd[prefix + "post_layernorm.weight"])
+            if post_layernorm
+            else np.ones(vcfg.hidden_size, np.float32)
+        ),
+        "post_ln_b": (
+            np.asarray(sd[prefix + "post_layernorm.bias"])
+            if post_layernorm
+            else np.zeros(vcfg.hidden_size, np.float32)
+        ),
     }
     if vcfg.use_class_token:
         p["class_embed"] = np.asarray(sd[prefix + "embeddings.class_embedding"]).reshape(-1)
@@ -204,7 +220,7 @@ def convert_llava_interleave(sd: StateDict, cfg: ModelConfig) -> Dict:
             "decoder": lm,
             "lm_head": _t(sd["language_model.lm_head.weight"]),
         },
-        "vision": convert_vit(sd, "vision_tower.vision_model.", cfg.vision),
+        "vision": convert_vit(sd, "vision_tower.vision_model.", cfg.vision, post_layernorm=False),
         "projector": {
             "fc1": _t(sd["multi_modal_projector.linear_1.weight"]),
             "fc1_bias": np.asarray(sd["multi_modal_projector.linear_1.bias"]),
@@ -242,7 +258,7 @@ def convert_idefics1(sd: StateDict, cfg: ModelConfig) -> Dict:
         "alpha_attn": _stack(sd, pre + "alpha_cross_attn", G, lambda w: np.asarray(w).reshape(())),
         "alpha_dense": _stack(sd, pre + "alpha_dense", G, lambda w: np.asarray(w).reshape(())),
     }
-    if text.qk_layernorm:
+    if text.cross_qk_layernorm:
         cross["q_ln"] = _stack(sd, pre + "cross_attn.q_layer_norm.weight", G, _identity)
         cross["k_ln"] = _stack(sd, pre + "cross_attn.k_layer_norm.weight", G, _identity)
     lm["cross"] = cross

@@ -106,7 +106,7 @@ def init_decoder_params(cfg: TextConfig, key: jax.Array, dtype=jnp.float32) -> P
             "alpha_attn": jnp.zeros((G,), dtype),
             "alpha_dense": jnp.zeros((G,), dtype),
         }
-        if cfg.qk_layernorm:
+        if cfg.cross_qk_layernorm:
             params["cross"]["q_ln"] = jnp.ones((G, Dh), dtype)
             params["cross"]["k_ln"] = jnp.ones((G, Dh), dtype)
     return params
@@ -279,7 +279,7 @@ def _cross_attention(
     S = cross_states.shape[1]
     k = jnp.dot(cross_states, cp["k_proj"]).reshape(B, S, Hkv, Dh)
     v = jnp.dot(cross_states, cp["v_proj"]).reshape(B, S, Hkv, Dh)
-    if cfg.qk_layernorm:
+    if cfg.cross_qk_layernorm:
         q = rms_norm(q, cp["q_ln"], cfg.norm_eps)
         k = rms_norm(k, cp["k_ln"], cfg.norm_eps)
     attn, _ = sdpa_with_lse(q, repeat_kv(k, cfg.num_groups), repeat_kv(v, cfg.num_groups), cross_mask)

@@ -151,6 +151,8 @@ def vit_forward(
         return h, None
 
     x, _ = jax.lax.scan(step, x, params["layers"])
+    if not cfg.post_layernorm:
+        return x
     return layer_norm(x, params["post_ln_w"], params["post_ln_b"], cfg.norm_eps)
 
 
