@@ -225,3 +225,102 @@ class TestIdefics1Parity:
             img_attn=img_attn,
         )
         np.testing.assert_allclose(ours, hf_logits, rtol=TOL, atol=TOL)
+
+
+class TestGenerationParity:
+    """greedy/beam token parity vs HF ``generate`` on the tiny idefics2 oracle.
+
+    Sequences are compared up to and including the first EOS (HF pads finished
+    beams with its own filler convention; decode strips special tokens anyway).
+    """
+
+    def _until_eos(self, row, eos):
+        out = []
+        for t in row:
+            out.append(int(t))
+            if t == eos:
+                break
+        return out
+
+    def test_greedy_and_beam_match_hf(self):
+        torch.manual_seed(0)
+        from transformers.models.idefics2.configuration_idefics2 import (
+            Idefics2Config, Idefics2PerceiverConfig, Idefics2VisionConfig,
+        )
+        from transformers.models.idefics2.modeling_idefics2 import (
+            Idefics2ForConditionalGeneration,
+        )
+        from transformers.models.mistral.configuration_mistral import MistralConfig
+
+        text_cfg = MistralConfig(
+            vocab_size=128, hidden_size=64, intermediate_size=128, num_hidden_layers=2,
+            num_attention_heads=4, num_key_value_heads=2, rms_norm_eps=1e-5,
+            max_position_embeddings=512, attn_implementation="eager",
+        )
+        vis_cfg = Idefics2VisionConfig(
+            hidden_size=32, intermediate_size=64, num_hidden_layers=2,
+            num_attention_heads=2, image_size=28, patch_size=14,
+            hidden_act="gelu_pytorch_tanh",
+        )
+        perc_cfg = Idefics2PerceiverConfig(
+            resampler_n_latents=4, resampler_depth=1, resampler_n_heads=2,
+            resampler_head_dim=16, num_key_value_heads=1, hidden_act="silu",
+        )
+        cfg_hf = Idefics2Config(
+            text_config=text_cfg, vision_config=vis_cfg, perceiver_config=perc_cfg,
+            image_token_id=99, tie_word_embeddings=False,
+        )
+        cfg_hf._attn_implementation = "eager"
+        model = Idefics2ForConditionalGeneration(cfg_hf).eval().float()
+
+        B, T, N = 2, 12, 1
+        rng = np.random.default_rng(5)
+        ids = rng.integers(1, 90, size=(B, T)).astype(np.int64)
+        ids[:, 2:6] = 99
+        attn = np.ones((B, T), np.int64)
+        pixels = rng.normal(size=(B, N, 3, 28, 28)).astype(np.float32)
+
+        gen_common = dict(
+            input_ids=torch.tensor(ids), attention_mask=torch.tensor(attn),
+            pixel_values=torch.tensor(pixels),
+            pixel_attention_mask=torch.ones((B, N, 28, 28), dtype=torch.long),
+            max_new_tokens=6, do_sample=False, pad_token_id=0, eos_token_id=2,
+            bos_token_id=1,
+        )
+        with torch.no_grad():
+            hf_greedy = model.generate(**gen_common)[:, T:].numpy()
+            hf_beam = model.generate(
+                **gen_common, num_beams=3, length_penalty=0.0, early_stopping=False
+            )[:, T:].numpy()
+
+        from mimic_tpu.models.generate import beam_generate, greedy_generate
+
+        cfg = ModelConfig(
+            name="p", family="idefics2",
+            text=TextConfig(vocab_size=128, hidden_size=64, num_layers=2, num_heads=4,
+                            num_kv_heads=2, intermediate_size=128, norm_eps=1e-5),
+            vision=VisionConfig(hidden_size=32, num_layers=2, num_heads=2,
+                                intermediate_size=64, image_size=28, patch_size=14,
+                                use_class_token=False, hidden_act="gelu_tanh"),
+            perceiver=PerceiverConfig(num_latents=4, num_layers=1, num_heads=2,
+                                      num_kv_heads=1, head_dim=16,
+                                      intermediate_size=128),
+            image_token_id=99, pad_token_id=0, eos_token_id=2, image_seq_len=4,
+        )
+        sd = {k: v.numpy() for k, v in model.state_dict().items()}
+        params = jax.tree.map(jnp.asarray, convert_idefics2(sd, cfg))
+        batch = LVLMBatch(
+            input_ids=jnp.asarray(ids.astype(np.int32)),
+            attention_mask=jnp.asarray(attn.astype(np.int32)),
+            pixel_values=jnp.asarray(pixels.transpose(0, 1, 3, 4, 2)),
+            pixel_mask=jnp.ones((B, N), jnp.int32),
+            patch_mask=jnp.ones((B, N, 2, 2), jnp.int32),
+        )
+        ours_g = np.asarray(greedy_generate(params, cfg, batch, 6, 2, 0).tokens)
+        np.testing.assert_array_equal(ours_g, hf_greedy)
+
+        ours_b = np.asarray(
+            beam_generate(params, cfg, batch, 6, 3, 2, 0, length_penalty=0.0).tokens
+        )
+        for row_ours, row_hf in zip(ours_b, hf_beam):
+            assert self._until_eos(row_ours, 2) == self._until_eos(row_hf, 2)
