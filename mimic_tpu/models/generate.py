@@ -35,7 +35,9 @@ def _prefill(params, cfg, batch: LVLMBatch, total_len: int, shift, adapters, lor
     cache = init_kv_cache(cfg.text, B, total_len, dtype)
     image_feats = None
     if batch.pixel_values is not None:
-        image_feats = encode_images(params, cfg, batch.pixel_values, batch.patch_mask)
+        image_feats = encode_images(
+            params, cfg, batch.pixel_values, batch.patch_mask, attn_impl=attn_impl
+        )
     out = lvlm_forward(
         params, cfg, batch,
         image_feats=image_feats,

@@ -60,6 +60,7 @@ def encode_images(
     cfg: ModelConfig,
     pixel_values: jnp.ndarray,
     patch_mask: Optional[jnp.ndarray] = None,
+    attn_impl: str = "xla",
 ) -> jnp.ndarray:
     """pixel_values [B,N,H,W,C] → per-image feature tokens.
 
@@ -74,7 +75,9 @@ def encode_images(
         if patch_mask is not None
         else None
     )
-    feats = vit_forward(params["vision"], cfg.vision, flat, patch_mask=flat_patch)
+    feats = vit_forward(
+        params["vision"], cfg.vision, flat, patch_mask=flat_patch, attn_impl=attn_impl
+    )
     ctx_mask = flat_patch.reshape(B * N, -1) if flat_patch is not None else None
     if cfg.family == "idefics2":
         feats = perceiver_forward(
@@ -147,7 +150,10 @@ def lvlm_forward(
     cross_states = None
     cross_mask = None
     if batch.pixel_values is not None and image_feats is None:
-        image_feats = encode_images(params, cfg, batch.pixel_values, batch.patch_mask)
+        image_feats = encode_images(
+            params, cfg, batch.pixel_values, batch.patch_mask,
+            attn_impl=decoder_kwargs.get("attn_impl", "xla"),
+        )
     if image_feats is not None:
         if cfg.family == "idefics1":
             cross_states = image_feats

@@ -18,6 +18,7 @@ from typing import Any, Dict, Optional
 import jax
 import jax.numpy as jnp
 
+from ..ops.flash_attention import flash_attention_diff
 from .config import PerceiverConfig, VisionConfig
 from .layers import gelu_act, layer_norm, repeat_kv, rms_norm, sdpa_with_lse
 
@@ -110,11 +111,19 @@ def vit_forward(
     cfg: VisionConfig,
     pixels: jnp.ndarray,
     patch_mask: Optional[jnp.ndarray] = None,
+    attn_impl: str = "xla",
 ) -> jnp.ndarray:
     """pixels [B,H,W,C] → features [B, N, D] (post-layernorm applied).
 
     ``patch_mask`` [B, nh, nw] enables variable-aspect processing (idefics2):
     padded patches are masked out of attention and position ids are bucketized.
+
+    ``attn_impl="flash"`` routes attention through the Pallas flash kernel: the
+    patch sequence is zero-padded to a 128-multiple once outside the layer scan
+    (ViT patch counts like 729/577 are lane-misaligned) and padded slots are
+    masked out of attention via the kernel's key mask; the pad rows' MLP output
+    is discarded by the final slice.  This avoids materializing the [B,H,N,N]
+    fp32 score tensor per layer.
     """
     x = jnp.dot(patchify(pixels, cfg.patch_size), params["patch_embed"]["kernel"])
     x = x + params["patch_embed"]["bias"]
@@ -134,6 +143,20 @@ def vit_forward(
 
     H = cfg.num_heads
     Dh = cfg.hidden_size // H
+    n_tokens = x.shape[1]
+    use_flash = attn_impl == "flash"
+    flash_kmask = None
+    if use_flash:
+        n_pad = (-n_tokens) % 128
+        if n_pad:
+            x = jnp.pad(x, ((0, 0), (0, n_pad), (0, 0)))
+        if patch_mask is not None:
+            valid = patch_mask.reshape(B, -1) > 0
+            if cfg.use_class_token:
+                valid = jnp.concatenate([jnp.ones((B, 1), bool), valid], axis=1)
+        else:
+            valid = jnp.ones((B, n_tokens), bool)
+        flash_kmask = jnp.pad(valid.astype(jnp.int32), ((0, 0), (0, n_pad)))
 
     def step(h, lp):
         residual = h
@@ -142,7 +165,14 @@ def vit_forward(
         q = (jnp.dot(hn, lp["q_proj"]) + lp["q_bias"]).reshape(B_, N, H, Dh)
         k = (jnp.dot(hn, lp["k_proj"]) + lp["k_bias"]).reshape(B_, N, H, Dh)
         v = (jnp.dot(hn, lp["v_proj"]) + lp["v_bias"]).reshape(B_, N, H, Dh)
-        attn, _ = sdpa_with_lse(q, k, v, mask=key_mask)
+        if use_flash:
+            # full-length blocks: ViT sequences are short (≤1k), so one program
+            # per (batch, head) minimizes grid overhead; scores never hit HBM
+            attn, _, _ = flash_attention_diff(
+                q, k, v, flash_kmask, False, None, N, N, False, False
+            )
+        else:
+            attn, _ = sdpa_with_lse(q, k, v, mask=key_mask)
         h = residual + jnp.dot(attn.reshape(B_, N, D), lp["o_proj"]) + lp["o_bias"]
         residual = h
         hn = layer_norm(h, lp["ln2_w"], lp["ln2_b"], cfg.norm_eps)
@@ -151,6 +181,8 @@ def vit_forward(
         return h, None
 
     x, _ = jax.lax.scan(step, x, params["layers"])
+    if use_flash and x.shape[1] != n_tokens:
+        x = x[:, :n_tokens]
     if not cfg.post_layernorm:
         return x
     return layer_norm(x, params["post_ln_w"], params["post_ln_b"], cfg.norm_eps)

@@ -69,3 +69,34 @@ def test_odd_lengths_fall_back_to_full_blocks():
     )
     ref_out, ref_lse, ref_lse_u = reference(q, k, v, key_mask, True)
     np.testing.assert_allclose(np.asarray(lse_u), np.asarray(ref_lse_u), rtol=1e-5, atol=1e-5)
+
+
+def test_vit_flash_path_matches_xla(monkeypatch):
+    """vit_forward(attn_impl="flash") pads the patch sequence to a 128-multiple,
+    masks the pad slots, and matches the XLA path (incl. variable-aspect masks)."""
+    import mimic_tpu.models.vision as V
+    from mimic_tpu.models.config import VisionConfig
+
+    cfg = VisionConfig(hidden_size=64, num_layers=2, num_heads=4, intermediate_size=128,
+                       image_size=28, patch_size=14, use_class_token=False)
+    params = V.init_vit_params(cfg, jax.random.PRNGKey(0))
+    px = jax.random.normal(jax.random.PRNGKey(1), (2, 28, 28, 3))
+
+    orig = V.flash_attention_diff
+    monkeypatch.setattr(
+        V, "flash_attention_diff",
+        lambda q, k, v, m, causal, scale, bq, bk, nu, interp: orig(
+            q, k, v, m, causal, scale, bq, bk, nu, True),
+    )
+
+    ref = V.vit_forward(params, cfg, px)
+    out = V.vit_forward(params, cfg, px, attn_impl="flash")
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5)
+
+    # variable-aspect: image 1 has only the top row of patches valid
+    pm = jnp.ones((2, 2, 2), jnp.int32).at[1, 1, :].set(0)
+    ref = V.vit_forward(params, cfg, px, patch_mask=pm)
+    out = V.vit_forward(params, cfg, px, patch_mask=pm, attn_impl="flash")
+    np.testing.assert_allclose(np.asarray(out[0]), np.asarray(ref[0]), atol=2e-5)
+    np.testing.assert_allclose(
+        np.asarray(out[1, :2]), np.asarray(ref[1, :2]), atol=2e-5)
