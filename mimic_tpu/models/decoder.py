@@ -191,12 +191,17 @@ def _self_attention(
     use_flash: bool = False,
     drop_keys=None,
     drop_rate: float = 0.0,
+    prompt_k: Optional[jnp.ndarray] = None,
+    prompt_v: Optional[jnp.ndarray] = None,
+    prompt_mask: Optional[jnp.ndarray] = None,
 ) -> Tuple[jnp.ndarray, Optional[jnp.ndarray], Optional[jnp.ndarray]]:
     """Returns (attn block output [B,T,D], new_k_block, new_v_block).
 
     With a cache, the cache refs stay READ-ONLY: attention runs in two parts
     (cache + current block, ``cached_attention``) and the new k/v blocks are
     returned for a single post-scan cache append — no full-cache copy per layer.
+    ``prompt_k/v/mask``: beam-shared prompt region at batch B/beams (see
+    ``cached_attention``); ``key_mask`` stays full-timeline and is split here.
     """
     B, T, _ = x.shape
     q, k, v = _project_qkv(lp, ad, x, cfg, lora_scaling, drop_keys, drop_rate)
@@ -211,8 +216,12 @@ def _self_attention(
         key_mask_new = jax.lax.dynamic_slice(
             key_mask, (0, cache_len), (B, T)
         )
+        gen_key_mask = key_mask
+        if prompt_k is not None:
+            gen_key_mask = key_mask[:, prompt_k.shape[1]:]
         attn, lse, lse_u = cached_attention(
-            q, k, v, cache_k, cache_v, cache_len, key_mask, key_mask_new
+            q, k, v, cache_k, cache_v, cache_len, gen_key_mask, key_mask_new,
+            prompt_k=prompt_k, prompt_v=prompt_v, prompt_mask=prompt_mask,
         )
         if ls:
             log_z2 = lse if logz2 == "masked" else lse_u
@@ -339,8 +348,16 @@ def decoder_forward(
 
     use_cache = kv_cache is not None
     cache_len = kv_cache["length"] if use_cache else jnp.zeros((), jnp.int32)
+    has_prompt = use_cache and "prompt_k" in kv_cache
+    prompt_len = kv_cache["prompt_k"].shape[2] if has_prompt else 0
     if use_cache and key_mask is None:
-        key_mask = jnp.ones((B, kv_cache["k"].shape[2]), jnp.int32)
+        key_mask = jnp.ones((B, prompt_len + kv_cache["k"].shape[2]), jnp.int32)
+    prompt_mask = None
+    if has_prompt:
+        # per-beam rows of the full-timeline mask are identical within a batch
+        # row's beam group (one prefill, tiled) — reduce to B0 rows once
+        B0 = kv_cache["prompt_k"].shape[1]
+        prompt_mask = key_mask[:, :prompt_len].reshape(B0, B // B0, prompt_len)[:, 0]
     # cache_empty (static hint from prefill): attention only needs the current
     # block — run the no-cache path (flash-eligible) and just append k/v after
     attend_cacheless = not use_cache or cache_empty
@@ -357,7 +374,7 @@ def decoder_forward(
     )
 
     def layer_step(h, xs):
-        lp, ls, os_, ad, pa, pf, dkeys, ck, cv = xs
+        lp, ls, os_, ad, pa, pf, dkeys, ck, cv, pk, pv = xs
         layer_in = h
         residual = h
         hn = rms_norm(h, lp["input_ln"], cfg.norm_eps)
@@ -370,6 +387,7 @@ def decoder_forward(
             key_mask=key_mask if not (use_cache and cache_empty) else key_mask[:, :T],
             use_flash=use_flash,
             drop_keys=dkeys, drop_rate=lora_dropout if use_dropout else 0.0,
+            prompt_k=pk, prompt_v=pv, prompt_mask=prompt_mask,
         )
         attn_out = apply_output_shift(
             attn_out, os_.get("attn_out_shift"), os_.get("attn_out_scale")
@@ -420,7 +438,7 @@ def decoder_forward(
             cfg.num_layers, 4, 2
         )
 
-    def scan_layers(h, lp_stack, ls, os_, ad, pa, pf, dk_stack, ck, cv):
+    def scan_layers(h, lp_stack, ls, os_, ad, pa, pf, dk_stack, ck, cv, pk=None, pv=None):
         """Scan over a stack of self-attn layers; returns (h, ys_stacked).
 
         Absent optional inputs (shift pytrees, caches) are replaced by tiny dummy
@@ -442,10 +460,12 @@ def decoder_forward(
             dkeys if dkeys is not None else dummy,
             ck if use_cache else dummy,
             cv if use_cache else dummy,
+            pk if has_prompt else dummy,
+            pv if has_prompt else dummy,
         )
 
         def step(h, xs_):
-            lp, ls_, os__, ad_, pa_, pf_, dk__, ck_, cv_ = xs_
+            lp, ls_, os__, ad_, pa_, pf_, dk__, ck_, cv_, pk_, pv_ = xs_
             return layer_step(
                 h,
                 (
@@ -458,6 +478,8 @@ def decoder_forward(
                     dk__ if dkeys is not None else None,
                     ck_ if use_cache else None,
                     cv_ if use_cache else None,
+                    pk_ if has_prompt else None,
+                    pv_ if has_prompt else None,
                 ),
             )
 
@@ -471,6 +493,8 @@ def decoder_forward(
     h = input_embeds
     ck_stack = kv_cache["k"] if use_cache else None
     cv_stack = kv_cache["v"] if use_cache else None
+    pk_stack = kv_cache["prompt_k"] if has_prompt else None
+    pv_stack = kv_cache["prompt_v"] if has_prompt else None
 
     if cfg.cross_attn_interval:
         # grouped execution: cross-attn g, then K self layers, for each group g
@@ -494,13 +518,15 @@ def decoder_forward(
                 dk_full[lo:hi] if dk_full is not None else None,
                 ck_stack[lo:hi] if use_cache else None,
                 cv_stack[lo:hi] if use_cache else None,
+                pk_stack[lo:hi] if has_prompt else None,
+                pv_stack[lo:hi] if has_prompt else None,
             )
             ys_groups.append(ys)
         ys = jax.tree.map(lambda *a: jnp.concatenate(a, axis=0), *ys_groups)
     else:
         h, ys = scan_layers(
             h, layers, ls_stack, os_stack, ad_stack, perturb_attn, perturb_ffn,
-            dk_full, ck_stack, cv_stack,
+            dk_full, ck_stack, cv_stack, pk_stack, pv_stack,
         )
 
     h = rms_norm(h, params["final_ln"], cfg.norm_eps)
@@ -508,14 +534,20 @@ def decoder_forward(
     new_cache = None
     if use_cache:
         # single append of all layers' new k/v blocks ([L,B,T,Hkv,Dh]) into the
-        # carried cache — the per-layer full-cache copies are gone
+        # carried cache — the per-layer full-cache copies are gone.  With a
+        # beam-shared prompt region, "k"/"v" hold only the generated slots, so
+        # the write lands at (timeline length − prompt length).
+        write_at = cache_len - prompt_len
         new_k = jax.lax.dynamic_update_slice(
-            kv_cache["k"], ys["k"].astype(kv_cache["k"].dtype), (0, 0, cache_len, 0, 0)
+            kv_cache["k"], ys["k"].astype(kv_cache["k"].dtype), (0, 0, write_at, 0, 0)
         )
         new_v = jax.lax.dynamic_update_slice(
-            kv_cache["v"], ys["v"].astype(kv_cache["v"].dtype), (0, 0, cache_len, 0, 0)
+            kv_cache["v"], ys["v"].astype(kv_cache["v"].dtype), (0, 0, write_at, 0, 0)
         )
         new_cache = {"k": new_k, "v": new_v, "length": cache_len + T}
+        if has_prompt:
+            new_cache["prompt_k"] = kv_cache["prompt_k"]
+            new_cache["prompt_v"] = kv_cache["prompt_v"]
     return DecoderOutput(
         hidden=h,
         attn_capture=ys.get("attn") if capture_attn else None,

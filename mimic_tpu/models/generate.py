@@ -167,9 +167,18 @@ def beam_generate(
         """[..., B, ...] → [..., B*K, ...] repeating each batch row K times."""
         return jnp.repeat(x, K, axis=axis)
 
+    # split cache: the prompt region [0,T) is identical across a row's beams
+    # (one prefill) — keep it ONCE at batch B ("prompt_k/v", read with beams
+    # folded into the query-group axis) and give each beam only the thin
+    # generated region.  Decode-step HBM drops by ~the beam factor and beam
+    # reordering gathers just [L,B·K,max_new,·,·].
+    L, _, _, Hkv, Dh = cache["k"].shape
+    gen_shape = (L, B * K, max_new_tokens, Hkv, Dh)
     cache = {
-        "k": tile_beams(cache["k"], 1),
-        "v": tile_beams(cache["v"], 1),
+        "prompt_k": cache["k"][:, :, :T],
+        "prompt_v": cache["v"][:, :, :T],
+        "k": jnp.zeros(gen_shape, cache["k"].dtype),
+        "v": jnp.zeros(gen_shape, cache["v"].dtype),
         "length": cache["length"],
     }
     if image_feats is not None:
@@ -305,18 +314,15 @@ def beam_generate(
         flat_parent = (
             jnp.arange(B)[:, None] * K + run_parent
         ).reshape(B * K)  # [B*K] into B*K rows
-        # the prompt region [0, T) of the cache is IDENTICAL across a row's beams
-        # (one prefill, tiled) — only the generated slots [T, T+max_new) diverge,
-        # so beam reordering gathers just that thin slice instead of the full cache
-        def reorder(c):
-            gen = jax.lax.dynamic_slice_in_dim(c, T, max_new_tokens, axis=2)
-            gen = jnp.take(gen, flat_parent, axis=1)
-            return jax.lax.dynamic_update_slice_in_dim(c, gen, T, axis=2)
-
+        # only the generated region is per-beam — reorder is a gather of the
+        # thin [L,B·K,max_new,·,·] cache; the shared prompt region never moves
+        step_cache = out.decoder.kv_cache
         new_cache = {
-            "k": reorder(out.decoder.kv_cache["k"]),
-            "v": reorder(out.decoder.kv_cache["v"]),
-            "length": out.decoder.kv_cache["length"],
+            "prompt_k": step_cache["prompt_k"],
+            "prompt_v": step_cache["prompt_v"],
+            "k": jnp.take(step_cache["k"], flat_parent, axis=1),
+            "v": jnp.take(step_cache["v"], flat_parent, axis=1),
+            "length": step_cache["length"],
         }
         new_state = _State(
             tokens=new_tokens,

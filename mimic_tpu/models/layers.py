@@ -115,10 +115,13 @@ def cached_attention(
     v_new: jnp.ndarray,    # [B,T,Hkv,D]
     cache_k: jnp.ndarray,  # [B,S,Hkv,D] read-only cache
     cache_v: jnp.ndarray,  # [B,S,Hkv,D]
-    cache_len,             # scalar: number of written cache slots
-    key_mask: jnp.ndarray, # [B,S] slot validity over the full timeline (padding)
+    cache_len,             # scalar: number of written timeline slots
+    key_mask: jnp.ndarray, # [B,S] slot validity over cache_k's region (padding)
     key_mask_new: jnp.ndarray,  # [B,T] validity of the current block's tokens
     scale: Optional[float] = None,
+    prompt_k: Optional[jnp.ndarray] = None,  # [B0,Sp,Hkv,D] beam-shared prompt
+    prompt_v: Optional[jnp.ndarray] = None,
+    prompt_mask: Optional[jnp.ndarray] = None,  # [B0,Sp]
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Two-part attention for autoregressive decode/prefill with a KV cache.
 
@@ -132,6 +135,14 @@ def cached_attention(
     lse_unmasked [B,T,H]) where the unmasked variant spans exactly the written
     cache slots + current block, ignoring padding/causality (reference do_shift
     semantics — its live k tensor contains exactly those positions).
+
+    Beam-shared prompt (``prompt_k/v/mask``, batch B0 = B/beams): the prompt
+    region of a beam-search cache is identical across a row's beams (one
+    prefill), so it is stored ONCE at batch B0 and the beams are folded into
+    the query-group axis for its score/value einsums — the dominant per-step
+    HBM read (prompt KV) drops by the beam factor.  ``cache_k/v`` then hold
+    only the generated region and ``cache_len`` still counts the full timeline
+    (prompt + generated); all prompt slots are written by construction.
     """
     B, T, H, D = q.shape
     S, Hkv = cache_k.shape[1], cache_k.shape[2]
@@ -148,19 +159,58 @@ def cached_attention(
         preferred_element_type=jnp.float32,
     )
 
+    gen_len = cache_len
+    s_prompt = None
+    if prompt_k is not None:
+        B0, Sp = prompt_k.shape[0], prompt_k.shape[1]
+        Kb = B // B0
+        gen_len = cache_len - Sp  # written slots within the generated region
+        # fold beams into the group axis: prompt KV is read once per batch row
+        qf = qg.reshape(B0, Kb, T, Hkv, G, D).transpose(0, 2, 3, 1, 4, 5)
+        qf = qf.reshape(B0, T, Hkv, Kb * G, D)
+        s_prompt = jnp.einsum(
+            "btkgd,bskd->bkgts", qf, prompt_k.astype(cache_k.dtype),
+            preferred_element_type=jnp.float32,
+        )  # [B0,Hkv,Kb*G,T,Sp]
+
     slot = jnp.arange(S)[None, None, None, None, :]
-    written = slot < cache_len
+    written = slot < gen_len
     cache_mask = written & key_mask[:, None, None, None, :].astype(bool)
     causal = jnp.tril(jnp.ones((T, T), bool))[None, None, None]
     new_mask = causal & key_mask_new[:, None, None, None, :].astype(bool)
 
     masked_cache = jnp.where(cache_mask, s_cache, NEG_INF)
     masked_new = jnp.where(new_mask, s_new, NEG_INF)
-    all_scores = jnp.concatenate([masked_cache, masked_new], axis=-1)
+    parts = [masked_cache, masked_new]
+    u_parts = [jnp.where(written, s_cache, NEG_INF), s_new]
+    if s_prompt is not None:
+        unfold = lambda s: s.reshape(B0, Hkv, Kb, G, T, Sp).transpose(
+            0, 2, 1, 3, 4, 5
+        ).reshape(B, Hkv, G, T, Sp)
+        s_prompt_b = unfold(s_prompt)
+        pm = jnp.repeat(prompt_mask.astype(bool), Kb, axis=0)  # [B,Sp]
+        parts.insert(0, jnp.where(pm[:, None, None, None, :], s_prompt_b, NEG_INF))
+        u_parts.insert(0, s_prompt_b)  # prompt slots are all written
+
+    all_scores = jnp.concatenate(parts, axis=-1)
     lse = jax.nn.logsumexp(all_scores, axis=-1)  # [B,Hkv,G,T]
     p = jnp.exp(all_scores - lse[..., None]).astype(cache_v.dtype)
-    p_cache, p_new = p[..., :S], p[..., S:]
-    out = jnp.einsum(
+    out = jnp.zeros((B, T, Hkv, G, D), jnp.float32)
+    off = 0
+    if s_prompt is not None:
+        # fold the prompt probabilities back to B0×(Kb·G) so prompt_v is read once
+        p_pf = p[..., :Sp].reshape(B, Hkv, G, T, Sp).reshape(
+            B0, Kb, Hkv, G, T, Sp
+        ).transpose(0, 2, 1, 3, 4, 5).reshape(B0, Hkv, Kb * G, T, Sp)
+        o_p = jnp.einsum(
+            "bkgts,bskd->btkgd", p_pf, prompt_v.astype(cache_v.dtype),
+            preferred_element_type=jnp.float32,
+        )  # [B0,T,Hkv,Kb*G,D]
+        o_p = o_p.reshape(B0, T, Hkv, Kb, G, D).transpose(0, 3, 1, 2, 4, 5)
+        out = out + o_p.reshape(B, T, Hkv, G, D)
+        off = Sp
+    p_cache, p_new = p[..., off:off + S], p[..., off + S:]
+    out = out + jnp.einsum(
         "bkgts,bskd->btkgd", p_cache, cache_v, preferred_element_type=jnp.float32
     )
     out = out + jnp.einsum(
@@ -170,9 +220,7 @@ def cached_attention(
     out = out.reshape(B, T, H, D).astype(q.dtype)
 
     # unmasked logsumexp over written slots + full current block
-    u_cache = jnp.where(written, s_cache, NEG_INF)
-    u_all = jnp.concatenate([u_cache, s_new], axis=-1)
-    lse_u = jax.nn.logsumexp(u_all, axis=-1)
+    lse_u = jax.nn.logsumexp(jnp.concatenate(u_parts, axis=-1), axis=-1)
 
     def to_bth(x):
         return jnp.transpose(x.reshape(B, H, T), (0, 2, 1))

@@ -179,7 +179,10 @@ def lvlm_forward(
         else:
             # cached two-part attention: only a 2D slot-validity mask is needed
             # (causality and the written-slot cutoff are handled inside)
-            total = kv_total_len or kv_cache["k"].shape[2]
+            total = kv_total_len or (
+                kv_cache["k"].shape[2]
+                + (kv_cache["prompt_k"].shape[2] if "prompt_k" in kv_cache else 0)
+            )
             key_mask2d = batch.attention_mask
             pad = total - key_mask2d.shape[1]
             if pad > 0:
