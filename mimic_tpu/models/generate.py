@@ -49,6 +49,7 @@ def _prefill(params, cfg, batch: LVLMBatch, total_len: int, shift, adapters, lor
         lora_scaling=lora_scaling,
         logz2=logz2,
         attn_impl=attn_impl,
+        last_logit_only=True,
     )
     last_logits = out.logits[:, -1]  # left padding → last position is the prompt end
     return last_logits, out.decoder.kv_cache, image_feats

@@ -51,6 +51,7 @@ def lm_forward(
     input_embeds: Optional[jnp.ndarray] = None,
     attn_mask: Optional[jnp.ndarray] = None,
     position_ids: Optional[jnp.ndarray] = None,
+    last_logit_only: bool = False,
     **decoder_kwargs,
 ) -> LMOutput:
     if input_embeds is None:
@@ -61,5 +62,10 @@ def lm_forward(
     out = decoder_forward(
         params["decoder"], cfg, input_embeds, attn_mask, position_ids, **decoder_kwargs
     )
-    logits = lm_head(params, cfg, out.hidden)
+    hidden = out.hidden
+    if last_logit_only:
+        # generation prefill only reads the final position's logits — skip the
+        # [B,T,V] unembed (≥1 TFLOP + a ~GB logits write at eval-protocol shapes)
+        hidden = hidden[:, -1:]
+    logits = lm_head(params, cfg, hidden)
     return LMOutput(logits=logits, decoder=out)
