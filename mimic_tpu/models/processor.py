@@ -138,9 +138,28 @@ class LVLMProcessor:
         fake = SpecialTokens.FAKE_IMAGE
         if self.cfg.family == "llava-interleave":
             return text.replace(img, img * self.cfg.image_seq_len)
-        n = self.cfg.image_seq_len if self.cfg.family == "idefics2" else 1
-        expanded = text.replace(img, fake + img * n + fake)
-        # adjacent images share one fake token (HF idefics behavior)
+        if self.cfg.family == "idefics1":
+            # HF IdeficsProcessor item-wise assembly (via the reference's split on
+            # "<image>" with empty segments dropped, testbed/models/idefics.py:126-141):
+            # text chunks are strip(" ")-ed; an image emits
+            # "<fake><image><fake>", or "<image><fake>" directly after another
+            # image (consecutive images share ONE fake token).  A whitespace-only
+            # chunk between images strips to "" but still breaks the run (both
+            # images keep their own fake pair) — so a blanket fake-fake merge
+            # would be wrong here.
+            parts = text.split(img)
+            pieces = []
+            last_was_image = False
+            for j, seg in enumerate(parts):
+                if j > 0:
+                    pieces.append(img + fake if last_was_image else fake + img + fake)
+                    last_was_image = True
+                if seg:
+                    pieces.append(seg.strip(" "))
+                    last_was_image = False
+            return "".join(pieces)
+        expanded = text.replace(img, fake + img * self.cfg.image_seq_len + fake)
+        # adjacent expansions share one fake token (HF Idefics2Processor behavior)
         return expanded.replace(fake + fake, fake)
 
     def __call__(
@@ -201,15 +220,23 @@ class LVLMProcessor:
 
     def _image_attention_mask(self, input_ids: np.ndarray, n_images: int) -> np.ndarray:
         """[B,T,n_images]: each text token attends to the nearest *preceding* image
-        (Flamingo/IDEFICS semantics)."""
+        (Flamingo/IDEFICS semantics).  Tokens after an EOS attend to NO image until
+        the next image token appears (HF ``IdeficsProcessor``
+        ``image_attention_mask_for_packed_input_ids`` — the EOS token itself keeps
+        its image; ``seen_eod`` is only set after the assignment)."""
         img_id = self.tokenizer.image_token_id
+        eos_id = self.tokenizer.eos_token_id
         B, T = input_ids.shape
         mask = np.zeros((B, T, n_images), np.int32)
         for b in range(B):
             current = -1
+            seen_eos = False
             for t in range(T):
                 if input_ids[b, t] == img_id:
                     current += 1
-                if 0 <= current < n_images:
+                    seen_eos = False
+                if 0 <= current < n_images and not seen_eos:
                     mask[b, t, current] = 1
+                if input_ids[b, t] == eos_id:
+                    seen_eos = True
         return mask
