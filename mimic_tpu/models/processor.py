@@ -51,6 +51,13 @@ class ImageProcessor:
     def process_with_region(self, image):
         """Returns (normalized [size,size,3], (valid_h, valid_w))."""
         arr = self._to_array(image)
+
+        def normalize(a):
+            a = a.astype(np.float32) / 255.0
+            mean = np.asarray(self.mean, np.float32)
+            std = np.asarray(self.std, np.float32)
+            return (a - mean) / std
+
         if self.mode == "longest_edge":
             h, w = arr.shape[:2]
             scale = self.size / max(h, w)
@@ -59,16 +66,14 @@ class ImageProcessor:
                 up = self.min_size / min(nh, nw)
                 nh, nw = min(self.size, round(nh * up)), min(self.size, round(nw * up))
             arr = self._resize(arr, nh, nw)
-            canvas = np.zeros((self.size, self.size, 3), arr.dtype)
-            canvas[:nh, :nw] = arr
-            arr, region = canvas, (nh, nw)
-        else:
-            arr = self._resize(arr, self.size, self.size)
-            region = (self.size, self.size)
-        arr = arr.astype(np.float32) / 255.0
-        mean = np.asarray(self.mean, np.float32)
-        std = np.asarray(self.std, np.float32)
-        return (arr - mean) / std, region
+            # HF order: resize → rescale → normalize → pad with 0.0 — padding
+            # happens AFTER normalization, so padded pixels are exactly 0, which
+            # matters for boundary patches that are only partially valid
+            canvas = np.zeros((self.size, self.size, 3), np.float32)
+            canvas[:nh, :nw] = normalize(arr)
+            return canvas, (nh, nw)
+        arr = self._resize(arr, self.size, self.size)
+        return normalize(arr), (self.size, self.size)
 
     @staticmethod
     def _to_array(image) -> np.ndarray:

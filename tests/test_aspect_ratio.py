@@ -28,8 +28,9 @@ class TestImageProcessorModes:
         arr, (vh, vw) = proc.process_with_region(img)
         assert arr.shape == (28, 28, 3)
         assert vh == 28 and vw == 14
-        # padded area is normalized zero-pixels: (0/255 - .5)/.5 = -1
-        assert np.allclose(arr[:, 20:], -1.0)
+        # HF pads AFTER normalization with constant 0.0 (resize → rescale →
+        # normalize → pad, Idefics2ImageProcessor.preprocess)
+        assert np.allclose(arr[:, 20:], 0.0)
         assert not np.allclose(arr[:vh, :vw], -1.0)
 
 
