@@ -96,9 +96,15 @@ class ImageProcessor:
 
     @staticmethod
     def _resize(arr: np.ndarray, h: int, w: int) -> np.ndarray:
-        """Bilinear resize without external deps (PIL used when available)."""
+        """Bilinear resize: native C++ (bit-exact PIL reimplementation,
+        ``native/image_ops.cpp``) → PIL → numpy fallback, in that order."""
         if arr.shape[0] == h and arr.shape[1] == w:
             return arr
+        from ..native import resize_bilinear_native
+
+        out = resize_bilinear_native(arr, h, w)
+        if out is not None:
+            return out
         try:
             from PIL import Image
 

@@ -14,7 +14,10 @@ import subprocess
 import tempfile
 from typing import List, Optional
 
-_SRC = os.path.join(os.path.dirname(__file__), "ptb_tokenizer.cpp")
+_SRCS = [
+    os.path.join(os.path.dirname(__file__), "ptb_tokenizer.cpp"),
+    os.path.join(os.path.dirname(__file__), "image_ops.cpp"),
+]
 _lib: Optional[ctypes.CDLL] = None
 _tried = False
 
@@ -27,18 +30,21 @@ def _build_and_load() -> Optional[ctypes.CDLL]:
     if os.environ.get("MIMIC_TPU_NO_NATIVE"):
         return None
     try:
-        with open(_SRC, "rb") as f:
-            digest = hashlib.sha256(f.read()).hexdigest()[:16]
+        h = hashlib.sha256()
+        for src in _SRCS:
+            with open(src, "rb") as f:
+                h.update(f.read())
+        digest = h.hexdigest()[:16]
         cache_dir = os.path.join(
             os.environ.get("XDG_CACHE_HOME", os.path.expanduser("~/.cache")),
             "mimic_tpu",
         )
         os.makedirs(cache_dir, exist_ok=True)
-        so_path = os.path.join(cache_dir, f"ptb_tokenizer-{digest}.so")
+        so_path = os.path.join(cache_dir, f"mimic_native-{digest}.so")
         if not os.path.exists(so_path):
             tmp = so_path + ".tmp"
             subprocess.run(
-                ["g++", "-O2", "-shared", "-fPIC", "-o", tmp, _SRC],
+                ["g++", "-O2", "-shared", "-fPIC", "-o", tmp, *_SRCS],
                 check=True,
                 capture_output=True,
             )
@@ -51,6 +57,17 @@ def _build_and_load() -> Optional[ctypes.CDLL]:
             ctypes.c_int,
         ]
         lib.ptb_tokenize_line.restype = ctypes.c_int
+        u8 = ctypes.POINTER(ctypes.c_uint8)
+        f32 = ctypes.POINTER(ctypes.c_float)
+        lib.resize_bilinear_u8.argtypes = [
+            u8, ctypes.c_int, ctypes.c_int, u8, ctypes.c_int, ctypes.c_int,
+        ]
+        lib.resize_bilinear_u8.restype = ctypes.c_int
+        lib.resize_normalize_f32.argtypes = [
+            u8, ctypes.c_int, ctypes.c_int, f32, ctypes.c_int, ctypes.c_int,
+            f32, f32,
+        ]
+        lib.resize_normalize_f32.restype = ctypes.c_int
         _lib = lib
     except Exception:
         _lib = None
@@ -78,3 +95,28 @@ def ptb_tokenize_native(line: str, lowercase: bool = True) -> Optional[List[str]
             return None
     out = buf.value.decode("utf-8", errors="replace")
     return out.split(" ") if out else []
+
+
+def resize_bilinear_native(arr, h: int, w: int):
+    """PIL-BILINEAR-exact uint8 RGB resize in C++; None when unavailable.
+
+    ``arr``: [H,W,3] uint8 C-contiguous numpy array → [h,w,3] uint8.
+    Bit-identical to ``PIL.Image.resize((w, h), Image.BILINEAR)`` (the Python
+    path is the oracle, see tests/test_native_image_ops.py).
+    """
+    lib = _build_and_load()
+    if lib is None:
+        return None
+    import numpy as np
+
+    src = np.ascontiguousarray(arr, dtype=np.uint8)
+    if src.ndim != 3 or src.shape[2] != 3:
+        return None
+    dst = np.empty((h, w, 3), np.uint8)
+    rc = lib.resize_bilinear_u8(
+        src.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        src.shape[0], src.shape[1],
+        dst.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        h, w,
+    )
+    return dst if rc == 0 else None
