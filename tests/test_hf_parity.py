@@ -324,3 +324,157 @@ class TestGenerationParity:
         )
         for row_ours, row_hf in zip(ours_b, hf_beam):
             assert self._until_eos(row_ours, 2) == self._until_eos(row_hf, 2)
+
+    def test_llava_greedy_and_beam_match_hf(self):
+        torch.manual_seed(0)
+        from transformers import LlavaConfig, LlavaForConditionalGeneration
+        from transformers.models.qwen2 import Qwen2Config
+        from transformers.models.siglip import SiglipVisionConfig
+
+        cfg_hf = LlavaConfig(
+            vision_config=SiglipVisionConfig(
+                hidden_size=32, intermediate_size=64, num_hidden_layers=3,
+                num_attention_heads=2, image_size=28, patch_size=14,
+                hidden_act="gelu_pytorch_tanh",
+            ),
+            text_config=Qwen2Config(
+                vocab_size=128, hidden_size=64, intermediate_size=128,
+                num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=2,
+                rms_norm_eps=1e-6, attn_implementation="eager",
+            ),
+            image_token_index=99, vision_feature_layer=-2,
+            vision_feature_select_strategy="full", projector_hidden_act="gelu",
+        )
+        cfg_hf._attn_implementation = "eager"
+        model = LlavaForConditionalGeneration(cfg_hf).eval().float()
+
+        B, T = 2, 12
+        rng = np.random.default_rng(7)
+        ids = rng.integers(1, 90, size=(B, T)).astype(np.int64)
+        ids[:, 2:6] = 99
+        attn = np.ones((B, T), np.int64)
+        pixels = rng.normal(size=(B, 3, 28, 28)).astype(np.float32)
+
+        gen_common = dict(
+            input_ids=torch.tensor(ids), attention_mask=torch.tensor(attn),
+            pixel_values=torch.tensor(pixels),
+            max_new_tokens=6, do_sample=False, pad_token_id=0, eos_token_id=2,
+            bos_token_id=1,
+        )
+        with torch.no_grad():
+            hf_greedy = model.generate(**gen_common)[:, T:].numpy()
+            hf_beam = model.generate(
+                **gen_common, num_beams=3, length_penalty=0.0, early_stopping=False
+            )[:, T:].numpy()
+
+        from mimic_tpu.models.generate import beam_generate, greedy_generate
+
+        cfg = ModelConfig(
+            name="p", family="llava-interleave",
+            text=TextConfig(vocab_size=128, hidden_size=64, num_layers=2, num_heads=4,
+                            num_kv_heads=2, intermediate_size=128, norm_eps=1e-6,
+                            attn_bias=True),
+            vision=VisionConfig(hidden_size=32, num_layers=2, num_heads=2,
+                                intermediate_size=64, image_size=28, patch_size=14,
+                                use_class_token=False, hidden_act="gelu_tanh",
+                                post_layernorm=False),
+            image_token_id=99, pad_token_id=0, eos_token_id=2, image_seq_len=4,
+        )
+        sd = {k: v.numpy() for k, v in model.state_dict().items()}
+        params = jax.tree.map(jnp.asarray, convert_llava_interleave(sd, cfg))
+        batch = LVLMBatch(
+            input_ids=jnp.asarray(ids.astype(np.int32)),
+            attention_mask=jnp.asarray(attn.astype(np.int32)),
+            pixel_values=jnp.asarray(pixels.transpose(0, 2, 3, 1)[:, None]),
+            pixel_mask=jnp.ones((B, 1), jnp.int32),
+        )
+        ours_g = np.asarray(greedy_generate(params, cfg, batch, 6, 2, 0).tokens)
+        np.testing.assert_array_equal(ours_g, hf_greedy)
+        ours_b = np.asarray(
+            beam_generate(params, cfg, batch, 6, 3, 2, 0, length_penalty=0.0).tokens
+        )
+        for row_ours, row_hf in zip(ours_b, hf_beam):
+            assert self._until_eos(row_ours, 2) == self._until_eos(row_hf, 2)
+
+    def test_idefics1_greedy_and_beam_match_hf(self):
+        torch.manual_seed(0)
+        from transformers.models.idefics.configuration_idefics import (
+            IdeficsConfig, IdeficsPerceiverConfig, IdeficsVisionConfig,
+        )
+        from transformers.models.idefics.modeling_idefics import (
+            IdeficsForVisionText2Text,
+        )
+
+        cfg_hf = IdeficsConfig(
+            vocab_size=128, hidden_size=64, intermediate_size=128,
+            num_hidden_layers=4, num_attention_heads=4, rms_norm_eps=1e-6,
+            cross_layer_interval=2, qk_layer_norms=True, use_resampler=True,
+            tie_word_embeddings=False,
+            additional_vocab_size=0, freeze_text_layers=False,
+            vision_config=IdeficsVisionConfig(
+                embed_dim=32, image_size=28, patch_size=14, num_hidden_layers=2,
+                num_attention_heads=2, intermediate_size=64,
+            ),
+            perceiver_config=IdeficsPerceiverConfig(
+                resampler_n_latents=4, resampler_depth=2, resampler_n_heads=2,
+                resampler_head_dim=16, qk_layer_norms_perceiver=True,
+            ),
+            attn_implementation="eager",
+        )
+        cfg_hf._attn_implementation = "eager"
+        model = IdeficsForVisionText2Text(cfg_hf).eval().float()
+
+        B, T, N = 2, 10, 1
+        rng = np.random.default_rng(9)
+        ids = rng.integers(3, 120, size=(B, T)).astype(np.int64)
+        attn = np.ones((B, T), np.int64)
+        pixels = rng.normal(size=(B, N, 3, 28, 28)).astype(np.float32)
+        img_attn = np.zeros((B, T, N), np.int64)
+        img_attn[:, 3:, 0] = 1
+
+        gen_common = dict(
+            input_ids=torch.tensor(ids), attention_mask=torch.tensor(attn),
+            pixel_values=torch.tensor(pixels),
+            image_attention_mask=torch.tensor(img_attn),
+            max_new_tokens=6, do_sample=False, pad_token_id=0, eos_token_id=2,
+            bos_token_id=1,
+        )
+        with torch.no_grad():
+            hf_greedy = model.generate(**gen_common)[:, T:].numpy()
+            hf_beam = model.generate(
+                **gen_common, num_beams=3, length_penalty=0.0, early_stopping=False
+            )[:, T:].numpy()
+
+        from mimic_tpu.models.generate import beam_generate, greedy_generate
+
+        cfg = ModelConfig(
+            name="p", family="idefics1",
+            text=TextConfig(vocab_size=128, hidden_size=64, num_layers=4, num_heads=4,
+                            num_kv_heads=4, intermediate_size=128, norm_eps=1e-6,
+                            cross_qk_layernorm=True, cross_attn_interval=2,
+                            cross_kv_dim=32),
+            vision=VisionConfig(hidden_size=32, num_layers=2, num_heads=2,
+                                intermediate_size=64, image_size=28, patch_size=14,
+                                use_class_token=True, hidden_act="quick_gelu",
+                                norm_eps=1e-5),
+            perceiver=PerceiverConfig(num_latents=4, num_layers=2, num_heads=2,
+                                      head_dim=16, style="idefics1",
+                                      qk_layernorm=True),
+            image_token_id=-1, pad_token_id=0, eos_token_id=2, image_seq_len=0,
+        )
+        sd = {k: v.numpy() for k, v in model.state_dict().items()}
+        params = jax.tree.map(jnp.asarray, convert_idefics1(sd, cfg))
+        batch = LVLMBatch(
+            input_ids=jnp.asarray(ids.astype(np.int32)),
+            attention_mask=jnp.asarray(attn.astype(np.int32)),
+            pixel_values=jnp.asarray(pixels.transpose(0, 1, 3, 4, 2)),
+            pixel_mask=jnp.ones((B, N), jnp.int32),
+            image_attention_mask=jnp.asarray(img_attn.astype(np.int32)),
+        )
+        ours_g = np.asarray(greedy_generate(params, cfg, batch, 6, 2, 0).tokens)
+        np.testing.assert_array_equal(ours_g, hf_greedy)
+        ours_b = np.asarray(
+            beam_generate(params, cfg, batch, 6, 3, 2, 0, length_penalty=0.0).tokens
+        )
+        for row_ours, row_hf in zip(ours_b, hf_beam):
+            assert self._until_eos(row_ours, 2) == self._until_eos(row_hf, 2)
