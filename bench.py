@@ -86,6 +86,10 @@ def main():
             rng.normal(size=(B, N, size, size, 3)).astype(np.float32), jnp.bfloat16
         ),
         pixel_mask=jnp.ones((B, N), jnp.int32),
+        # real idefics2 eval keeps aspect ratio → the variable-aspect path
+        # (bucketized position ids + masked vision attention) is always active;
+        # the bench exercises it too
+        patch_mask=jnp.ones((B, N, size // 14, size // 14), jnp.int32),
     )
 
     run = lambda: beam_generate(

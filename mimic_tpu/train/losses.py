@@ -25,13 +25,17 @@ import jax.numpy as jnp
 
 
 def gather_tokens(x: jnp.ndarray, indices: jnp.ndarray) -> jnp.ndarray:
-    """x [..., B, T, D], indices [B, M] → [..., B, M, D] (supports leading L axis)."""
+    """x [..., B, T, D], indices [B, M] → [..., B, M, D] (supports leading L axis).
+
+    Row selection runs as a one-hot matmul: TPU lowers broadcast
+    ``take_along_axis`` to a serial gather loop (~70× slower at training shapes),
+    while the one-hot contraction rides the MXU and is exact (a single nonzero
+    term per output row)."""
+    T = x.shape[-2]
+    onehot = (indices[:, :, None] == jnp.arange(T)[None, None, :]).astype(x.dtype)
     if x.ndim == 4:  # [L,B,T,D]
-        idx = indices[None, :, :, None]
-        idx = jnp.broadcast_to(idx, (x.shape[0],) + indices.shape + (x.shape[-1],))
-        return jnp.take_along_axis(x, idx, axis=2)
-    idx = jnp.broadcast_to(indices[:, :, None], indices.shape + (x.shape[-1],))
-    return jnp.take_along_axis(x, idx, axis=1)
+        return jnp.einsum("bmt,lbtd->lbmd", onehot, x)
+    return jnp.einsum("bmt,btd->bmd", onehot, x)
 
 
 def layer_wise_mse(
