@@ -59,3 +59,34 @@ class TestShardedGeneration:
                 eos_token_id=tk.eos_token_id, pad_token_id=tk.pad_token_id,
             )
         np.testing.assert_array_equal(np.asarray(out.tokens), np.asarray(ref.tokens))
+
+    def test_model_parallel_beam_matches_single(self, setup, eight_devices):
+        """Beam search under tp+dp: exercises the beam-shared prompt cache
+        (prompt region at batch B, generated region at B·K) with sharded
+        weights — the B→B·K query-group fold must compose with the mesh."""
+        cfg, params, tk = setup
+        batch = make_batch(tk)
+        from mimic_tpu.models.generate import beam_generate
+
+        ref = beam_generate(
+            params, cfg, batch, max_new_tokens=4, num_beams=3,
+            eos_token_id=tk.eos_token_id, pad_token_id=tk.pad_token_id,
+        )
+        mesh = make_mesh(2, 4, eight_devices)
+        with mesh:
+            p = shard_params(params, mesh)
+            b = jax.device_put(
+                batch,
+                LVLMBatch(
+                    input_ids=NamedSharding(mesh, P("data")),
+                    attention_mask=NamedSharding(mesh, P("data")),
+                ),
+            )
+            out = beam_generate(
+                p, cfg, b, max_new_tokens=4, num_beams=3,
+                eos_token_id=tk.eos_token_id, pad_token_id=tk.pad_token_id,
+            )
+        np.testing.assert_array_equal(np.asarray(out.tokens), np.asarray(ref.tokens))
+        np.testing.assert_allclose(
+            np.asarray(out.scores), np.asarray(ref.scores), rtol=1e-5, atol=1e-5
+        )
