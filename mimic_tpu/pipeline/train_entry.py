@@ -113,11 +113,14 @@ def run_train(
         # device executes the current step
         return prefetch(dl, depth=2, transform=collator)
 
+    from ..train.optim import cosine_warmup_schedule
+
     ctx = mesh if mesh is not None else _nullcontext()
     with ctx:
         state = train_loop(
             cfg, state, frozen, step, epoch_batches,
             result_dir=result_dir, max_epochs=max_epochs,
+            lr_schedule=cosine_warmup_schedule(cfg.peft.lr, warmup, total_steps),
         )
     return state
 

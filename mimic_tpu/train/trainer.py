@@ -92,6 +92,7 @@ def train_loop(
     max_epochs: Optional[int] = None,
     save_when: Optional[Callable[[int], bool]] = None,
     log_every: int = 2,
+    lr_schedule: Optional[Callable[[int], Any]] = None,
 ) -> TrainState:
     """Run epochs of the jitted step over host-built batches.
 
@@ -120,6 +121,9 @@ def train_loop(
             state, metrics = train_step(state, frozen_params, device_batch)
             step += 1
             if step % log_every == 0:
+                if lr_schedule is not None:
+                    # reference LearningRateMonitor analog (src/train.py:96-99)
+                    metrics = {**metrics, "lr": float(lr_schedule(step))}
                 logger.log(step, metrics)
         if save_when(epoch):
             save_trainable(os.path.join(run_dir, f"epoch-{epoch}"), state.trainable)
