@@ -71,7 +71,7 @@ def test_odd_lengths_fall_back_to_full_blocks():
     np.testing.assert_allclose(np.asarray(lse_u), np.asarray(ref_lse_u), rtol=1e-5, atol=1e-5)
 
 
-def test_vit_flash_path_matches_xla(monkeypatch):
+def test_vit_flash_path_matches_xla():
     """vit_forward(attn_impl="flash") pads the patch sequence to a 128-multiple,
     masks the pad slots, and matches the XLA path (incl. variable-aspect masks)."""
     import mimic_tpu.models.vision as V
@@ -81,13 +81,6 @@ def test_vit_flash_path_matches_xla(monkeypatch):
                        image_size=28, patch_size=14, use_class_token=False)
     params = V.init_vit_params(cfg, jax.random.PRNGKey(0))
     px = jax.random.normal(jax.random.PRNGKey(1), (2, 28, 28, 3))
-
-    orig = V.flash_attention_diff
-    monkeypatch.setattr(
-        V, "flash_attention_diff",
-        lambda q, k, v, m, causal, scale, bq, bk, nu, interp: orig(
-            q, k, v, m, causal, scale, bq, bk, nu, True),
-    )
 
     ref = V.vit_forward(params, cfg, px)
     out = V.vit_forward(params, cfg, px, attn_impl="flash")
