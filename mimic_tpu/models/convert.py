@@ -213,7 +213,8 @@ def _normalize_llava_keys(sd: StateDict) -> StateDict:
 
 def convert_llava_interleave(sd: StateDict, cfg: ModelConfig) -> Dict:
     sd = _normalize_llava_keys(sd)
-    lm = convert_decoder(sd, "language_model.model.", cfg.text, attn_bias=True)
+    # llava-interleave (Qwen2 text tower) has qkv biases; llava-1.5 (llama) doesn't
+    lm = convert_decoder(sd, "language_model.model.", cfg.text, attn_bias=cfg.text.attn_bias)
     return {
         "lm": {
             "embed": np.asarray(sd["language_model.model.embed_tokens.weight"]),

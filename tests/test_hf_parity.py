@@ -478,3 +478,60 @@ class TestGenerationParity:
         )
         for row_ours, row_hf in zip(ours_b, hf_beam):
             assert self._until_eos(row_ours, 2) == self._until_eos(row_hf, 2)
+
+
+class TestLlava15Parity:
+    """llava-1.5 flavor: CLIP tower (class token, quick_gelu, pre-layernorm) with
+    vision_feature_select_strategy="default" (CLS dropped before the projector)."""
+
+    def test_logits_match_hf(self):
+        torch.manual_seed(0)
+        from transformers import LlavaConfig, LlavaForConditionalGeneration
+        from transformers.models.clip import CLIPVisionConfig
+        from transformers.models.llama import LlamaConfig
+
+        cfg_hf = LlavaConfig(
+            vision_config=CLIPVisionConfig(
+                hidden_size=32, intermediate_size=64, num_hidden_layers=3,
+                num_attention_heads=2, image_size=28, patch_size=14,
+                hidden_act="quick_gelu",
+            ),
+            text_config=LlamaConfig(
+                vocab_size=128, hidden_size=64, intermediate_size=128,
+                num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=4,
+                rms_norm_eps=1e-5, attn_implementation="eager",
+                attention_bias=False,
+            ),
+            image_token_index=99, vision_feature_layer=-2,
+            vision_feature_select_strategy="default", projector_hidden_act="gelu",
+        )
+        cfg_hf._attn_implementation = "eager"
+        model = LlavaForConditionalGeneration(cfg_hf).eval().float()
+
+        B, T = 1, 12
+        rng = np.random.default_rng(3)
+        ids = rng.integers(1, 90, size=(B, T)).astype(np.int64)
+        ids[0, 2:6] = 99  # 4 image slots = (28/14)^2 patches, CLS dropped
+        attn = np.ones((B, T), np.int64)
+        pixels = rng.normal(size=(B, 3, 28, 28)).astype(np.float32)
+        with torch.no_grad():
+            hf_logits = model(
+                input_ids=torch.tensor(ids), attention_mask=torch.tensor(attn),
+                pixel_values=torch.tensor(pixels),
+            ).logits.numpy()
+
+        cfg = ModelConfig(
+            name="parity", family="llava-interleave",
+            text=TextConfig(vocab_size=128, hidden_size=64, num_layers=2, num_heads=4,
+                            num_kv_heads=4, intermediate_size=128, norm_eps=1e-5,
+                            attn_bias=False),
+            vision=VisionConfig(hidden_size=32, num_layers=2, num_heads=2,
+                                intermediate_size=64, image_size=28, patch_size=14,
+                                use_class_token=True, hidden_act="quick_gelu",
+                                norm_eps=1e-5, post_layernorm=False),
+            image_token_id=99, pad_token_id=0, image_seq_len=4,
+        )
+        sd = {k: v.numpy() for k, v in model.state_dict().items()}
+        params = convert_llava_interleave(sd, cfg)
+        ours = run_ours(cfg, params, ids, attn, pixels.transpose(0, 2, 3, 1)[:, None])
+        np.testing.assert_allclose(ours, hf_logits, rtol=TOL, atol=TOL)
