@@ -303,10 +303,26 @@ def convert_idefics1(sd: StateDict, cfg: ModelConfig) -> Dict:
     }
 
 
+def convert_text(sd: StateDict, cfg: ModelConfig) -> Dict:
+    """Plain HF causal LM (MistralForCausalLM / Qwen2ForCausalLM — the
+    reference's text-only testbed wrappers, testbed/models/{mistral,qwen2}.py)."""
+    lm = convert_decoder(sd, "model.", cfg.text, attn_bias=cfg.text.attn_bias)
+    out = {
+        "lm": {
+            "embed": np.asarray(sd["model.embed_tokens.weight"]),
+            "decoder": lm,
+        }
+    }
+    if not cfg.text.tie_word_embeddings:
+        out["lm"]["lm_head"] = _t(sd["lm_head.weight"])
+    return out
+
+
 _CONVERTERS = {
     "idefics2": convert_idefics2,
     "llava-interleave": convert_llava_interleave,
     "idefics1": convert_idefics1,
+    "text": convert_text,
 }
 
 

@@ -535,3 +535,61 @@ class TestLlava15Parity:
         params = convert_llava_interleave(sd, cfg)
         ours = run_ours(cfg, params, ids, attn, pixels.transpose(0, 2, 3, 1)[:, None])
         np.testing.assert_allclose(ours, hf_logits, rtol=TOL, atol=TOL)
+
+
+class TestTextOnlyParity:
+    """Text-only towers (the reference's mistral/qwen2 testbed wrappers)."""
+
+    def _check(self, hf_model, cfg):
+        from mimic_tpu.models.convert import convert_text
+
+        B, T = 2, 10
+        rng = np.random.default_rng(4)
+        ids = rng.integers(1, 120, size=(B, T)).astype(np.int64)
+        attn = np.ones((B, T), np.int64)
+        with torch.no_grad():
+            hf_logits = hf_model(
+                input_ids=torch.tensor(ids), attention_mask=torch.tensor(attn)
+            ).logits.numpy()
+        sd = {k: v.numpy() for k, v in hf_model.state_dict().items()}
+        params = convert_text(sd, cfg)
+        ours = run_ours(cfg, params, ids, attn)
+        np.testing.assert_allclose(ours, hf_logits, rtol=TOL, atol=TOL)
+
+    def test_mistral_logits_match_hf(self):
+        torch.manual_seed(0)
+        from transformers.models.mistral import MistralConfig, MistralForCausalLM
+
+        model = MistralForCausalLM(MistralConfig(
+            vocab_size=128, hidden_size=64, intermediate_size=128,
+            num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=2,
+            rms_norm_eps=1e-5, attn_implementation="eager",
+            tie_word_embeddings=False,
+        )).eval().float()
+        cfg = ModelConfig(
+            name="p", family="text",
+            text=TextConfig(vocab_size=128, hidden_size=64, num_layers=2,
+                            num_heads=4, num_kv_heads=2, intermediate_size=128,
+                            norm_eps=1e-5),
+            image_token_id=-1, pad_token_id=0,
+        )
+        self._check(model, cfg)
+
+    def test_qwen2_logits_match_hf(self):
+        torch.manual_seed(0)
+        from transformers.models.qwen2 import Qwen2Config, Qwen2ForCausalLM
+
+        model = Qwen2ForCausalLM(Qwen2Config(
+            vocab_size=128, hidden_size=64, intermediate_size=128,
+            num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=2,
+            rms_norm_eps=1e-6, attn_implementation="eager",
+            tie_word_embeddings=False,
+        )).eval().float()
+        cfg = ModelConfig(
+            name="p", family="text",
+            text=TextConfig(vocab_size=128, hidden_size=64, num_layers=2,
+                            num_heads=4, num_kv_heads=2, intermediate_size=128,
+                            norm_eps=1e-6, attn_bias=True),
+            image_token_id=-1, pad_token_id=0,
+        )
+        self._check(model, cfg)
