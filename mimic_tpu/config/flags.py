@@ -10,7 +10,7 @@ from __future__ import annotations
 
 import enum
 import re
-from typing import Optional, Type, TypeVar, Union
+from typing import Type, TypeVar, Union
 
 
 class ShiftStrategy(enum.IntFlag):

@@ -8,7 +8,7 @@ which we interpret as ``LEARNABLE_SHIFT_SCALE`` (documented deviation).
 
 from __future__ import annotations
 
-from typing import Dict, Tuple
+from typing import Tuple
 
 from .core import EncoderConfig, LoraConfig, PeftConfig
 

@@ -16,7 +16,7 @@ Behavioral parity with ``testbed/data/__init__.py``:
 from __future__ import annotations
 
 import re
-from typing import Any, Callable, Dict, Iterator, List, Optional, Sequence, Tuple, Union
+from typing import Any, Callable, Dict, Iterator, List, Optional, Sequence, Union
 
 from .registry import DATASET_RETRIEVERS, POSTPROCESSORS
 from .samplers import BatchSampler, ConcatSampler, MultiBatchSampler, RandomSampler, SequentialSampler

@@ -7,7 +7,7 @@ a *retriever* converts one raw dataset item into chat messages (+ images); a
 
 from __future__ import annotations
 
-from typing import Any, Callable, Dict, List, Tuple, Union
+from typing import Any, Callable, Dict, List, Tuple
 
 from ..utils.registry import Registry
 

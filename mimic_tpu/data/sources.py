@@ -16,7 +16,6 @@ from collections import Counter
 from pathlib import Path
 from typing import Any, Dict, List, Optional
 
-from ..config.paths import Paths
 
 
 def most_common_from_dict(answers: List[Dict[str, Any]]) -> str:

@@ -20,7 +20,6 @@ TPU-first design decisions:
 
 from __future__ import annotations
 
-from functools import partial
 from typing import Any, Dict, NamedTuple, Optional, Tuple
 
 import jax

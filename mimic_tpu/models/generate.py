@@ -18,7 +18,7 @@ import jax
 import jax.numpy as jnp
 
 from .config import ModelConfig
-from .decoder import init_kv_cache, positions_from_mask
+from .decoder import init_kv_cache
 from .lvlm import LVLMBatch, encode_images, lvlm_forward
 
 NEG = -1.0e9

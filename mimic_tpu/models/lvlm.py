@@ -19,7 +19,7 @@ import jax
 import jax.numpy as jnp
 
 from .config import ModelConfig
-from .decoder import make_causal_mask, make_decode_mask, positions_from_mask
+from .decoder import make_causal_mask, positions_from_mask
 from .lm import LMOutput, embed_tokens, init_lm_params, lm_forward
 from .vision import (
     init_llava_projector,

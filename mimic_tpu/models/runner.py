@@ -10,7 +10,7 @@ passed into every forward (set once after loading a checkpoint — the analog of
 
 from __future__ import annotations
 
-from typing import Any, Dict, List, Optional, Union
+from typing import Any, Dict, List, Optional
 
 import jax.numpy as jnp
 import numpy as np

@@ -11,7 +11,6 @@ import ctypes
 import hashlib
 import os
 import subprocess
-import tempfile
 from typing import List, Optional
 
 _SRCS = [

@@ -14,7 +14,7 @@ owns NCCL" (SURVEY §2.3).
 from __future__ import annotations
 
 import re
-from typing import Any, Dict, Optional, Tuple
+from typing import Any, Dict, Tuple
 
 import jax
 import numpy as np

@@ -14,7 +14,7 @@ import copy
 import itertools
 import os
 from dataclasses import dataclass, field
-from typing import Any, Dict, List, Optional, Sequence, Tuple
+from typing import Any, Dict, List, Sequence, Tuple
 
 from ..config import EvalConfig, TrainConfig, get_preset
 from ..train.checkpoints import existing_ckpt_epochs, load_trainable

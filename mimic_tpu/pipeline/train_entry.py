@@ -3,7 +3,7 @@
 from __future__ import annotations
 
 import os
-from typing import Any, Dict, Optional
+from typing import Any, Dict
 
 import jax
 import jax.numpy as jnp
@@ -11,7 +11,7 @@ import jax.numpy as jnp
 from ..config import TrainConfig
 from ..data.adapters import build_adapter
 from ..models.factory import build_model
-from ..parallel import make_mesh, replicate, shard_batch, shard_params
+from ..parallel import make_mesh, replicate, shard_params
 from ..shift.lora import init_lora_params
 from ..shift.params import init_shift_params
 from ..train import (

@@ -17,7 +17,7 @@ Keys (all optional, present according to strategy flags):
 
 from __future__ import annotations
 
-from typing import Any, Dict, Optional
+from typing import Dict
 
 import jax
 import jax.numpy as jnp

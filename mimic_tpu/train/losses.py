@@ -18,7 +18,6 @@ the reference's dynamic ``masked_select`` means.
 
 from __future__ import annotations
 
-from typing import Dict, Optional, Tuple
 
 import jax
 import jax.numpy as jnp

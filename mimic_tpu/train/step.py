@@ -9,7 +9,6 @@ pytree, optimizer update — is ONE compiled XLA program per batch shape.
 
 from __future__ import annotations
 
-from functools import partial
 from typing import Any, Dict, NamedTuple, Optional, Tuple
 
 import jax
