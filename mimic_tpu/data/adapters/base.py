@@ -31,6 +31,8 @@ class DatasetAdapter(ABC):
 
     support_datasets: List[str] = []
 
+    _num_skip_oom: int = 0
+
     def __init__(self, data_cfg: DataConfig, support_set: Sequence, query_set: Sequence):
         self.cfg = data_cfg
         if self.name not in self.support_datasets:
@@ -85,14 +87,32 @@ class DatasetAdapter(ABC):
 
     # -- prediction ----------------------------------------------------------
 
-    def get_prediction(self, runner, batch, **generation_args) -> List[str]:
-        """Context batch → generated strings (interface.py:152-190; the OOM-skip
-        budget is dropped — XLA preallocates, per-sample OOM doesn't happen)."""
+    def get_prediction(
+        self, runner, batch, max_skip_oom: int = 0, **generation_args
+    ) -> Optional[List[str]]:
+        """Context batch → generated strings (interface.py:152-190).
+
+        ``max_skip_oom``: on a device OOM ("RESOURCE_EXHAUSTED" — XLA's analog
+        of torch's "out of memory"), skip the batch (return None) up to this
+        many times, then re-raise — same budget semantics as the reference.
+        Rare on TPU (XLA preallocates), but a too-long prompt bucket can still
+        exhaust HBM at compile/run time."""
         ret = prepare_input(self.name, batch, instruction=self.instruction)
         if isinstance(ret, tuple):
             context, images = ret
-            return runner.generate(images, context, **generation_args)
-        return runner.generate(None, ret, **generation_args)
+            args = (images, context)
+        else:
+            args = (None, ret)
+        try:
+            return runner.generate(*args, **generation_args)
+        except Exception as e:
+            msg = str(e)
+            if "RESOURCE_EXHAUSTED" not in msg and "out of memory" not in msg:
+                raise
+            if self._num_skip_oom >= max_skip_oom:
+                raise
+            self._num_skip_oom += 1
+        return None
 
     # -- dataloaders ---------------------------------------------------------
 

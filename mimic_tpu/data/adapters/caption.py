@@ -40,7 +40,11 @@ class CaptionAdapter(DatasetAdapter):
         gen_args = dict(vars(eval_cfg.generation))
         gen_args["max_new_tokens"] = 20  # caption override (caption.py:72)
         for _, batch in zip(range(iterations), prefetch(dl)):
-            predictions = self.get_prediction(runner, batch, **gen_args)
+            predictions = self.get_prediction(
+                runner, batch, max_skip_oom=eval_cfg.max_skip_oom, **gen_args
+            )
+            if predictions is None:  # OOM-skipped batch (budgeted)
+                continue
             for pred, context in zip(predictions, batch):
                 last_item = context[-1]
                 prediction = postprocess_generation(self.name, pred, CAPTION_STOP_WORDS)

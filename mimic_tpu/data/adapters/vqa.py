@@ -47,7 +47,11 @@ class VQAAdapter(DatasetAdapter):
         iterations = eval_cfg.iterations or len(dl)
         gen_args = vars(eval_cfg.generation)
         for _, batch in zip(range(iterations), prefetch(dl)):
-            predictions = self.get_prediction(runner, batch, **gen_args)
+            predictions = self.get_prediction(
+                runner, batch, max_skip_oom=eval_cfg.max_skip_oom, **gen_args
+            )
+            if predictions is None:  # OOM-skipped batch (budgeted)
+                continue
             for pred, context in zip(predictions, batch):
                 last_qa = context[-1]
                 prediction = postprocess_generation(self.name, pred, VQA_STOP_WORDS)
@@ -78,7 +82,11 @@ class VQAAdapter(DatasetAdapter):
         iterations = eval_cfg.iterations or len(dl)
         gen_args = vars(eval_cfg.generation)
         for _, batch in zip(range(iterations), prefetch(dl)):
-            predictions = self.get_prediction(runner, batch, **gen_args)
+            predictions = self.get_prediction(
+                runner, batch, max_skip_oom=eval_cfg.max_skip_oom, **gen_args
+            )
+            if predictions is None:  # OOM-skipped batch (budgeted)
+                continue
             for pred, context in zip(predictions, batch):
                 last_qa = context[-1]
                 prediction = postprocess_generation(self.name, pred, VQA_STOP_WORDS)

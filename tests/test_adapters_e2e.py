@@ -80,3 +80,46 @@ def test_adapter_eval_end_to_end(runner, tmp_path, name, splits_fn, metric_key):
     records, metrics = result
     assert metric_key in metrics
     assert len(records) == 2  # 1 iteration × batch 2
+
+
+def test_max_skip_oom_budget(runner):  # noqa: F811
+    """OOM batches are skipped up to the budget, then re-raised
+    (interface.py:152-190 semantics, RESOURCE_EXHAUSTED as the TPU analog)."""
+    from mimic_tpu.data.adapters import build_adapter
+
+    cfg = make_cfg("coco")
+    adapter = build_adapter(cfg.data, splits=caption_splits())
+    dl = adapter.validation_dataloader(batch_size=2)
+    batch = next(iter(dl))
+    gen_args = dict(num_beams=1, max_new_tokens=4)
+
+    class OOMRunner:
+        def __init__(self, inner, fail_times):
+            self.inner = inner
+            self.fail_times = fail_times
+            self.calls = 0
+
+        def generate(self, *a, **kw):
+            self.calls += 1
+            if self.calls <= self.fail_times:
+                raise RuntimeError("RESOURCE_EXHAUSTED: out of memory while allocating")
+            return self.inner.generate(*a, **kw)
+
+    oom = OOMRunner(runner, fail_times=1)
+    assert adapter.get_prediction(oom, batch, max_skip_oom=1, **gen_args) is None
+    assert adapter.get_prediction(oom, batch, max_skip_oom=1, **gen_args) is not None
+
+    oom2 = OOMRunner(runner, fail_times=10)
+    adapter._num_skip_oom = 0
+    assert adapter.get_prediction(oom2, batch, max_skip_oom=1, **gen_args) is None
+    with pytest.raises(RuntimeError, match="RESOURCE_EXHAUSTED"):
+        adapter.get_prediction(oom2, batch, max_skip_oom=1, **gen_args)
+
+    # a non-OOM error is never swallowed
+    class BoomRunner:
+        def generate(self, *a, **kw):
+            raise ValueError("boom")
+
+    adapter._num_skip_oom = 0
+    with pytest.raises(ValueError, match="boom"):
+        adapter.get_prediction(BoomRunner(), batch, max_skip_oom=5, **gen_args)
