@@ -49,3 +49,39 @@ def test_real_arch_compiles_sharded(name, eight_devices):
         )
         compiled = fn.lower(abstract, batch, **kwargs).compile()
     assert compiled is not None
+
+
+def test_real_scale_beam_generate_compiles_sharded(eight_devices):
+    """Beam search (the eval protocol path, incl. the beam-shared prompt cache)
+    lowers and compiles at idefics2-8b scale under 8-way model parallelism —
+    de-risks the real-slice accuracy runs without needing weights."""
+    from mimic_tpu.models.generate import beam_generate
+
+    cfg = get_model_config("idefics2-8b-base")
+    params_shape = jax.eval_shape(
+        lambda: init_lvlm_params(cfg, jax.random.PRNGKey(0), dtype=jnp.bfloat16)
+    )
+    mesh = make_mesh(1, 8, eight_devices)
+    shardings = param_shardings(params_shape, mesh)
+    batch = LVLMBatch(
+        input_ids=jax.ShapeDtypeStruct((2, 128), jnp.int32),
+        attention_mask=jax.ShapeDtypeStruct((2, 128), jnp.int32),
+        pixel_values=jax.ShapeDtypeStruct(
+            (2, 1, cfg.vision.image_size, cfg.vision.image_size, 3), jnp.bfloat16
+        ),
+        pixel_mask=jax.ShapeDtypeStruct((2, 1), jnp.int32),
+        patch_mask=jax.ShapeDtypeStruct(
+            (2, 1, cfg.vision.image_size // cfg.vision.patch_size,
+             cfg.vision.image_size // cfg.vision.patch_size), jnp.int32
+        ),
+    )
+    with mesh:
+        abstract = jax.tree.map(
+            lambda s, sh: jax.ShapeDtypeStruct(s.shape, s.dtype, sharding=sh),
+            params_shape, shardings,
+        )
+        compiled = beam_generate.lower(
+            abstract, cfg, batch, max_new_tokens=10, num_beams=3,
+            eos_token_id=2, pad_token_id=0,
+        ).compile()
+    assert compiled is not None
