@@ -115,3 +115,48 @@ class TestMimicConvergence:
             np.asarray(plain), np.asarray(shifted), rtol=1e-5, atol=1e-5
         )
         assert m_zero["attn_mse_loss"] > 0  # a real ICL gap exists to close
+
+    def test_trained_shift_moves_logits_toward_prompted(self, setup):
+        """The end claim (paper §3.2): after training, the shifted QUERY-ONLY
+        pass's answer-position distributions are closer to the PROMPTED pass's
+        than the unshifted ones are (measured by the reference KL)."""
+        cfg, frozen, proc, tk = setup
+        enc, peft = get_preset("mimic_attn_mse")
+        enc.model_strategy = "Strategy.LAYER_WISE_MSE"
+        shift = init_shift_params(enc, cfg.text, jax.random.PRNGKey(1))
+        trainable = {"shift": shift}
+        tx = build_optimizer(
+            trainable, lr=2e-2, weight_decay=0.0, warmup_steps=2, total_steps=100,
+            grad_clip=1.0,
+        )
+        step = make_train_step(
+            cfg, enc, tx, ce_loss_weight=0.0, align_loss_weight=1.0, donate=False,
+        )
+        collator = TrainCollator(proc, enc.strategy(), num_image_in_query=1)
+        batch = _to_device_batch(collator(batch_of_strings()))
+        state = TrainState(trainable, tx.init(trainable), jnp.zeros((), jnp.int32))
+        for _ in range(80):
+            state, _ = step(state, frozen, batch)
+
+        # a KL-bearing strategy makes the collator emit answer-position gathers
+        from mimic_tpu.config.flags import parse_strategy
+        from mimic_tpu.models.lvlm import lvlm_forward
+        from mimic_tpu.train.losses import logits_kl
+        from mimic_tpu.train.step import _full_lvlm_batch, _query_lvlm_batch
+
+        kl_strat = parse_strategy("Strategy.LOGITS_KL_DIV | Strategy.LM_LOSS")
+        col_kl = TrainCollator(proc, kl_strat, num_image_in_query=1)
+        b = _to_device_batch(col_kl(batch_of_strings()))
+
+        prompted = lvlm_forward(frozen, cfg, _full_lvlm_batch(b)).logits
+        plain = lvlm_forward(frozen, cfg, _query_lvlm_batch(b)).logits
+        shifted = lvlm_forward(
+            frozen, cfg, _query_lvlm_batch(b), shift=state.trainable["shift"]
+        ).logits
+
+        def kl(q):
+            return float(logits_kl(
+                q, prompted, b["query_ans_idx"], b["prefix_ans_idx"], b["ans_valid"]
+            ))
+
+        assert kl(shifted) < kl(plain), (kl(shifted), kl(plain))
