@@ -109,9 +109,12 @@ def run_train(
     from ..data.prefetch import prefetch
 
     def epoch_batches(epoch: int):
-        # collate (tokenize + image decode) in a background thread while the
-        # device executes the current step
-        return prefetch(dl, depth=2, transform=collator)
+        # collate (tokenize + image decode) in background thread(s) while the
+        # device executes the current step (DataConfig.num_workers analog of the
+        # reference's DataLoader workers, src/config/data.yaml:7)
+        return prefetch(
+            dl, depth=2, transform=collator, workers=max(1, cfg.data.num_workers)
+        )
 
     from ..train.optim import cosine_warmup_schedule
 

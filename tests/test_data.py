@@ -195,3 +195,31 @@ class TestTrainContextSplit:
         assert prefix.startswith("Instruction: Do it.\n")
         assert "what is 0?" in prefix and "what is 2?" not in prefix
         assert query == "Image:<image> Question: what is 2? Answer:"
+
+
+class TestPrefetchWorkers:
+    def test_pooled_transform_preserves_order(self):
+        import time as _time
+
+        from mimic_tpu.data.prefetch import prefetch
+
+        def slow_sq(x):
+            _time.sleep(0.01 * ((x * 7) % 3))  # uneven latency → reorder hazard
+            return x * x
+
+        out = list(prefetch(range(20), depth=2, transform=slow_sq, workers=4))
+        assert out == [x * x for x in range(20)]
+
+    def test_pooled_transform_propagates_errors(self):
+        import pytest
+
+        from mimic_tpu.data.prefetch import prefetch
+
+        def boom(x):
+            if x == 3:
+                raise ValueError("bad item")
+            return x
+
+        it = prefetch(range(6), transform=boom, workers=3)
+        with pytest.raises(ValueError, match="bad item"):
+            list(it)
