@@ -138,7 +138,10 @@ def _lora_delta(
     if drop_key is not None and drop_rate > 0.0:
         keep = jax.random.bernoulli(drop_key, 1.0 - drop_rate, x.shape)
         x = jnp.where(keep, x / (1.0 - drop_rate), 0.0).astype(x.dtype)
-    return scaling * jnp.dot(jnp.dot(x, a), b)
+    # adapter math runs in the adapter dtype (fp32 trainables over a bf16 frozen
+    # tower); the delta re-enters the activation dtype so residual streams and
+    # the layer-scan carry keep the model dtype
+    return (scaling * jnp.dot(jnp.dot(x, a), b)).astype(x.dtype)
 
 
 def _project_qkv(

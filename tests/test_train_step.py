@@ -199,3 +199,18 @@ class TestLoRADropout:
         s1, m1 = step(state, frozen, batch)
         s2, m2 = step(s1, frozen, batch)
         assert float(m1["loss"]) == float(m2["loss"])
+
+
+def test_lora_step_with_bf16_frozen_params(setup):
+    """fp32 LoRA adapters over a bf16 frozen tower: the low-rank delta must
+    re-enter the activation dtype or the layer-scan carry dtype breaks
+    (regression: bf16[...] carry vs f32[...] output TypeError)."""
+    cfg, _, proc, tk = setup
+    frozen16 = init_lvlm_params(cfg, jax.random.PRNGKey(0), dtype=jnp.bfloat16)
+    enc, peft = get_preset("lora")
+    lora = init_lora_params(peft.lora, cfg.text, jax.random.PRNGKey(2))
+    state, step, enc = make_state_and_step(cfg, frozen16, "lora", {"lora": lora})
+    collator = TrainCollator(proc, enc.strategy())
+    batch = _to_device_batch(collator(string_batch()))
+    state, metrics = step(state, frozen16, batch)
+    assert np.isfinite(float(metrics["loss"]))
