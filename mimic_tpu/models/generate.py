@@ -349,3 +349,111 @@ def beam_generate(
     best_scores, best_idx = jax.lax.top_k(all_scores, 1)
     best_tokens = jnp.take_along_axis(all_tokens, best_idx[..., None], axis=1)[:, 0]
     return GenerateResult(tokens=best_tokens, scores=best_scores[:, 0])
+
+
+@partial(
+    jax.jit,
+    static_argnames=(
+        "cfg", "max_new_tokens", "eos_token_id", "pad_token_id",
+        "temperature", "top_k", "top_p", "logz2", "attn_impl",
+    ),
+)
+def sample_generate(
+    params,
+    cfg: ModelConfig,
+    batch: LVLMBatch,
+    max_new_tokens: int,
+    eos_token_id: int,
+    pad_token_id: int,
+    rng: jax.Array,
+    temperature: float = 1.0,
+    top_k: int = 0,
+    top_p: float = 1.0,
+    shift: Optional[Dict[str, jnp.ndarray]] = None,
+    adapters: Optional[Dict[str, jnp.ndarray]] = None,
+    lora_scaling: float = 1.0,
+    logz2: str = "unmasked",
+    attn_impl: str = "xla",
+) -> GenerateResult:
+    """Ancestral sampling with HF-style logits processing order:
+    temperature → top-k → top-p (``do_sample=True`` path of the reference's
+    ``model.generate`` pass-through, testbed/models/model_base.py:383-435).
+
+    ``top_k=0`` / ``top_p=1.0`` disable the respective filters.  Returns the
+    per-sequence sum of sampled-token logprobs as ``scores``.
+    """
+    B, T = batch.input_ids.shape
+    total = T + max_new_tokens
+    dtype = jax.tree.leaves(params)[0].dtype
+    last_logits, cache, image_feats = _prefill(
+        params, cfg, batch, total, shift, adapters, lora_scaling, logz2, dtype,
+        attn_impl,
+    )
+
+    n_real = jnp.sum(batch.attention_mask, axis=-1)
+    mask_full = jnp.concatenate(
+        [batch.attention_mask, jnp.zeros((B, max_new_tokens), batch.attention_mask.dtype)],
+        axis=-1,
+    )
+    last_img_row = None
+    if batch.image_attention_mask is not None:
+        last_img_row = batch.image_attention_mask[:, -1:, :]
+
+    V = last_logits.shape[-1]
+
+    def process_and_sample(logits, key):
+        x = logits.astype(jnp.float32) / jnp.maximum(temperature, 1e-6)
+        if top_k and top_k < V:
+            kth = jax.lax.top_k(x, top_k)[0][:, -1:]
+            x = jnp.where(x < kth, NEG, x)
+        if top_p < 1.0:
+            sort_idx = jnp.argsort(-x, axis=-1)
+            sorted_x = jnp.take_along_axis(x, sort_idx, axis=-1)
+            probs = jax.nn.softmax(sorted_x, axis=-1)
+            cum = jnp.cumsum(probs, axis=-1)
+            # HF TopPLogitsWarper: keep tokens while cumulative prob (inclusive
+            # of the previous token) ≤ top_p — the first token always survives
+            keep_sorted = (cum - probs) <= top_p
+            keep = jnp.zeros_like(keep_sorted).at[
+                jnp.arange(x.shape[0])[:, None], sort_idx
+            ].set(keep_sorted)
+            x = jnp.where(keep, x, NEG)
+        logprobs = jax.nn.log_softmax(x, axis=-1)
+        tok = jax.random.categorical(key, x, axis=-1).astype(jnp.int32)
+        return tok, jnp.take_along_axis(logprobs, tok[:, None], axis=-1)[:, 0]
+
+    k0, rng = jax.random.split(rng)
+    first_tok, first_lp = process_and_sample(last_logits, k0)
+
+    def step(carry, i):
+        tok, lp_sum, cache, mask_full, finished, rng = carry
+        tok = jnp.where(finished, pad_token_id, tok)
+        mask_full = mask_full.at[:, T + i].set(1)
+        step_batch = LVLMBatch(
+            input_ids=tok[:, None],
+            attention_mask=mask_full,
+            pixel_values=batch.pixel_values,
+            pixel_mask=batch.pixel_mask,
+            image_attention_mask=last_img_row,
+        )
+        out = lvlm_forward(
+            params, cfg, step_batch,
+            image_feats=image_feats,
+            position_ids=(n_real + i)[:, None],
+            kv_cache=cache,
+            kv_total_len=total,
+            shift=shift,
+            adapters=adapters,
+            lora_scaling=lora_scaling,
+            logz2=logz2,
+        )
+        finished = finished | (tok == eos_token_id)
+        key, rng = jax.random.split(rng)
+        next_tok, lp = process_and_sample(out.logits[:, -1], key)
+        next_tok = jnp.where(finished, pad_token_id, next_tok)
+        lp_sum = lp_sum + jnp.where(finished, 0.0, lp)
+        return (next_tok, lp_sum, out.decoder.kv_cache, mask_full, finished, rng), tok
+
+    init = (first_tok, first_lp, cache, mask_full, jnp.zeros((B,), bool), rng)
+    (_, lp_sum, *_), toks = jax.lax.scan(step, init, jnp.arange(max_new_tokens))
+    return GenerateResult(tokens=toks.T, scores=lp_sum)

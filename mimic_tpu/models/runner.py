@@ -98,6 +98,11 @@ class LVLMRunner:
         num_beams: int = 1,
         max_new_tokens: int = 10,
         length_penalty: float = 0.0,
+        do_sample: bool = False,
+        temperature: float = 1.0,
+        top_k: int = 0,
+        top_p: float = 1.0,
+        seed: int = 0,
         **_: Any,
     ) -> List[str]:
         """Prompt → decoded continuations (prompt stripped), HF-generate parity.
@@ -136,7 +141,14 @@ class LVLMRunner:
             # prefill runs the Pallas kernel on TPU (block-aligned via pad_multiple)
             attn_impl="flash" if jax.default_backend() == "tpu" else "xla",
         )
-        if num_beams > 1:
+        if do_sample:
+            from .generate import sample_generate
+
+            result = sample_generate(
+                self.params, self.cfg, batch, rng=jax.random.PRNGKey(seed),
+                temperature=temperature, top_k=top_k, top_p=top_p, **common,
+            )
+        elif num_beams > 1:
             result = beam_generate(
                 self.params, self.cfg, batch, num_beams=num_beams,
                 length_penalty=length_penalty, **common,

@@ -221,3 +221,68 @@ class TestBeam:
             eos_token_id=tk.eos_token_id, pad_token_id=tk.pad_token_id,
         )
         assert float(b.scores[0]) >= score - 1e-4
+
+
+class TestSampleGenerate:
+    @staticmethod
+    def _batch(proc):
+        return make_batch(
+            proc,
+            ["Image:<image> Question: color? Answer:",
+             "Image:<image> Question: count? Answer:"],
+            [[rand_image(0)], [rand_image(1)]],
+        )
+
+    def test_low_temperature_matches_greedy(self, setup):
+        cfg, params, proc, tk = setup
+        batch = self._batch(proc)
+        from mimic_tpu.models.generate import greedy_generate, sample_generate
+
+        g = greedy_generate(params, cfg, batch, 5, tk.eos_token_id, tk.pad_token_id)
+        s = sample_generate(
+            params, cfg, batch, 5, tk.eos_token_id, tk.pad_token_id,
+            rng=jax.random.PRNGKey(0), temperature=1e-4,
+        )
+        np.testing.assert_array_equal(np.asarray(s.tokens), np.asarray(g.tokens))
+
+    def test_top_k_1_matches_greedy(self, setup):
+        cfg, params, proc, tk = setup
+        batch = self._batch(proc)
+        from mimic_tpu.models.generate import greedy_generate, sample_generate
+
+        g = greedy_generate(params, cfg, batch, 5, tk.eos_token_id, tk.pad_token_id)
+        s = sample_generate(
+            params, cfg, batch, 5, tk.eos_token_id, tk.pad_token_id,
+            rng=jax.random.PRNGKey(7), top_k=1,
+        )
+        np.testing.assert_array_equal(np.asarray(s.tokens), np.asarray(g.tokens))
+
+    def test_seeded_and_varied(self, setup):
+        cfg, params, proc, tk = setup
+        batch = self._batch(proc)
+        from mimic_tpu.models.generate import sample_generate
+
+        a = sample_generate(params, cfg, batch, 8, tk.eos_token_id, tk.pad_token_id,
+                            rng=jax.random.PRNGKey(1), temperature=2.0)
+        b = sample_generate(params, cfg, batch, 8, tk.eos_token_id, tk.pad_token_id,
+                            rng=jax.random.PRNGKey(1), temperature=2.0)
+        c = sample_generate(params, cfg, batch, 8, tk.eos_token_id, tk.pad_token_id,
+                            rng=jax.random.PRNGKey(2), temperature=2.0)
+        np.testing.assert_array_equal(np.asarray(a.tokens), np.asarray(b.tokens))
+        assert not np.array_equal(np.asarray(a.tokens), np.asarray(c.tokens))
+        assert np.all(np.asarray(a.scores) <= 0.0)  # sum of logprobs
+
+    def test_top_p_restricts_support(self, setup):
+        """With a near-deterministic distribution, top_p keeps only the head —
+        sampling must coincide with greedy at any seed."""
+        cfg, params, proc, tk = setup
+        batch = self._batch(proc)
+        from mimic_tpu.models.generate import greedy_generate, sample_generate
+
+        g = greedy_generate(params, cfg, batch, 5, tk.eos_token_id, tk.pad_token_id)
+        for seed in (0, 3):
+            s = sample_generate(
+                params, cfg, batch, 5, tk.eos_token_id, tk.pad_token_id,
+                rng=jax.random.PRNGKey(seed), temperature=0.05, top_p=0.5,
+            )
+            np.testing.assert_array_equal(np.asarray(s.tokens), np.asarray(g.tokens))
