@@ -283,6 +283,6 @@ class TestSampleGenerate:
         for seed in (0, 3):
             s = sample_generate(
                 params, cfg, batch, 5, tk.eos_token_id, tk.pad_token_id,
-                rng=jax.random.PRNGKey(seed), temperature=0.05, top_p=0.5,
+                rng=jax.random.PRNGKey(seed), temperature=0.005, top_p=0.5,
             )
             np.testing.assert_array_equal(np.asarray(s.tokens), np.asarray(g.tokens))
