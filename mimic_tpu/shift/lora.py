@@ -57,3 +57,28 @@ def init_lora_params(
 
 def lora_scaling(lora_cfg: LoraConfig) -> float:
     return lora_cfg.scaling()
+
+
+def merge_lora(params, adapters: LoraParams, scaling: float):
+    """Fold trained LoRA adapters into the frozen decoder weights for serving:
+    W' = W + scaling · A@B per layer per target projection.
+
+    Equivalent forward (peft ``merge_and_unload`` analog) without the per-layer
+    adapter matmuls at decode time.  Returns a NEW params pytree; the input is
+    untouched.  Adapter leaves are stacked [L, d_in, r] / [L, r, d_out] matching
+    the stacked decoder weights [L, d_in, d_out].
+    """
+    layers = dict(params["lm"]["decoder"]["layers"])
+    for short in ("q", "k", "v", "o"):
+        a, b = adapters.get(f"{short}_a"), adapters.get(f"{short}_b")
+        if a is None:
+            continue
+        name = f"{short}_proj"
+        w = layers[name]
+        delta = scaling * jnp.einsum("lir,lro->lio", a, b)
+        layers[name] = (w.astype(jnp.float32) + delta).astype(w.dtype)
+    out = dict(params)
+    out["lm"] = dict(params["lm"])
+    out["lm"]["decoder"] = dict(params["lm"]["decoder"])
+    out["lm"]["decoder"]["layers"] = layers
+    return out

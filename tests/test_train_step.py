@@ -214,3 +214,37 @@ def test_lora_step_with_bf16_frozen_params(setup):
     batch = _to_device_batch(collator(string_batch()))
     state, metrics = step(state, frozen16, batch)
     assert np.isfinite(float(metrics["loss"]))
+
+
+def test_merge_lora_matches_adapter_forward(setup):
+    """Folding LoRA into the weights (serving path) reproduces the adapter
+    forward exactly (peft merge_and_unload analog)."""
+    from mimic_tpu.models.lvlm import lvlm_forward
+    from mimic_tpu.shift.lora import merge_lora
+
+    cfg, frozen, proc, tk = setup
+    enc, peft = get_preset("lora")
+    lora = init_lora_params(peft.lora, cfg.text, jax.random.PRNGKey(5))
+    # B starts at zero (merge would be a no-op); give it real values
+    lora = jax.tree.map(
+        lambda p: p + 0.01 * jax.random.normal(jax.random.PRNGKey(6), p.shape), lora
+    )
+    scaling = peft.lora.scaling()
+
+    collator = TrainCollator(proc, enc.strategy())
+    batch = _to_device_batch(collator(string_batch()))
+    from mimic_tpu.train.step import _query_lvlm_batch
+
+    with_adapters = lvlm_forward(
+        frozen, cfg, _query_lvlm_batch(batch), adapters=lora, lora_scaling=scaling
+    ).logits
+    merged = merge_lora(frozen, lora, scaling)
+    with_merged = lvlm_forward(merged, cfg, _query_lvlm_batch(batch)).logits
+    np.testing.assert_allclose(
+        np.asarray(with_merged), np.asarray(with_adapters), rtol=2e-5, atol=2e-5
+    )
+    # original params untouched
+    np.testing.assert_array_equal(
+        np.asarray(frozen["lm"]["decoder"]["layers"]["q_proj"]),
+        np.asarray(jax.tree.leaves({"q": frozen["lm"]["decoder"]["layers"]["q_proj"]})[0]),
+    )
