@@ -134,6 +134,8 @@ class EvalConfig:
     batch_size: int = 16
     iterations: Optional[int] = None
     max_skip_oom: int = 0
+    # fold LoRA adapters into the weights before eval (peft merge_and_unload)
+    merge_lora: bool = True
     dtype: str = "bfloat16"
     generation: GenerationConfig = field(default_factory=GenerationConfig)
     data: DataConfig = field(default_factory=DataConfig)

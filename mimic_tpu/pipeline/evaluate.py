@@ -67,7 +67,11 @@ def run_eval(
         # load trained shift/adapters into the runner
         from ..train.checkpoints import load_trainable
 
-        if runner.shift is None and runner.adapters is None:
+        if (
+            runner.shift is None
+            and runner.adapters is None
+            and not getattr(runner, "_lora_merged", False)
+        ):
             raise ValueError(
                 "Non-ICL eval requires the runner to carry trained shift params "
                 "(use load_trainable + runner.set_shift before run_eval, or pass "

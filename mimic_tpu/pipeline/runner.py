@@ -114,9 +114,23 @@ def _load_ckpt_into_runner(eval_cfg: EvalConfig, runner) -> None:
     )
     trainable = load_trainable(eval_cfg.ckpt_path, template)
     lora_scaling = eval_cfg.peft.lora.scaling() if eval_cfg.peft.lora else 1.0
-    runner.set_shift(
-        trainable.get("shift"), trainable.get("lora"), lora_scaling
-    )
+    lora = trainable.get("lora")
+    base = getattr(runner, "_unmerged_params", runner.params)
+    if lora is not None and getattr(eval_cfg, "merge_lora", True):
+        # serving path: fold adapters into the weights once (peft
+        # merge_and_unload analog) — removes per-layer adapter matmuls from
+        # every decode step; numerically identical (tested).  Always merge onto
+        # the pristine base so looping over epoch checkpoints stays correct.
+        from ..shift.lora import merge_lora
+
+        runner._unmerged_params = base
+        runner.params = merge_lora(base, lora, lora_scaling)
+        runner._lora_merged = True
+        lora, lora_scaling = None, 1.0
+    else:
+        runner.params = base
+        runner._lora_merged = False
+    runner.set_shift(trainable.get("shift"), lora, lora_scaling)
 
 
 def _as_train_cfg(eval_cfg: EvalConfig) -> TrainConfig:

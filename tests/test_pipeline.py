@@ -99,3 +99,35 @@ class TestFullPipeline:
         second = run_pipeline(spec, result_dir=str(tmp_path), runner=runner, splits=splits)
         # eval records exist → nothing re-evaluated
         assert second["evaluated"] == []
+
+
+class TestLoraPipeline:
+    def test_lora_eval_merges_adapters(self, runner, tmp_path):
+        """LoRA checkpoints fold into the weights at eval load (merge path) and
+        repeated checkpoint loads stay idempotent (merge always from the base)."""
+        import numpy as np
+
+        spec = PipelineSpec(
+            runname="lorapipe",
+            model_name="tiny-idefics2",
+            preset="lora",
+            datasets=["vqav2"],
+            num_query_samples=[4],
+            num_shots=[1],
+            train_overrides={"epochs": 1, "batch_size": 2, "accumulate_grad_batches": 1},
+            eval_overrides={"batch_size": 2, "iterations": 1},
+        )
+        base_q = np.asarray(runner.params["lm"]["decoder"]["layers"]["q_proj"])
+        summary = run_pipeline(
+            spec, result_dir=str(tmp_path), runner=runner, splits=synthetic_vqa_splits()
+        )
+        assert len(summary["evaluated"]) == 1
+        # adapters were merged: runner carries no live adapters, weights changed
+        assert runner.adapters is None
+        merged_q = np.asarray(runner.params["lm"]["decoder"]["layers"]["q_proj"])
+        assert not np.array_equal(merged_q, base_q)
+        # pristine base retained for subsequent checkpoint loads
+        np.testing.assert_array_equal(
+            np.asarray(runner._unmerged_params["lm"]["decoder"]["layers"]["q_proj"]),
+            base_q,
+        )
