@@ -29,7 +29,6 @@ from ..shift.functional import apply_attn_shift, apply_output_shift
 from .config import TextConfig
 from .layers import (
     apply_rope,
-    layer_norm,
     repeat_kv,
     rms_norm,
     rope_cos_sin,
