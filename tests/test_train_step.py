@@ -248,3 +248,33 @@ def test_merge_lora_matches_adapter_forward(setup):
         np.asarray(frozen["lm"]["decoder"]["layers"]["q_proj"]),
         np.asarray(jax.tree.leaves({"q": frozen["lm"]["decoder"]["layers"]["q_proj"]})[0]),
     )
+
+
+def test_mimic_train_step_idefics1_family():
+    """Dual-pass MimIC step on the idefics1 architecture: per-layer captures must
+    flow through the GROUPED cross-attention scan (ys concatenated across groups)
+    and the loss must be finite and decrease."""
+    from mimic_tpu.models.config import get_model_config
+
+    tk = SimpleTokenizer(padding_side="right")
+    cfg = get_model_config("tiny-idefics1").replace(
+        image_token_id=tk.image_token_id,
+        pad_token_id=tk.pad_token_id,
+        bos_token_id=tk.bos_token_id,
+        eos_token_id=tk.eos_token_id,
+    )
+    cfg = cfg.replace(text=cfg.text.__class__(**{**cfg.text.__dict__, "vocab_size": tk.vocab_size}))
+    frozen = init_lvlm_params(cfg, jax.random.PRNGKey(0))
+    proc = LVLMProcessor(cfg, tk)
+
+    enc, peft = get_preset("mimic")
+    shift = init_shift_params(enc, cfg.text, jax.random.PRNGKey(1))
+    state, step, enc = make_state_and_step(cfg, frozen, "mimic", {"shift": shift})
+    collator = TrainCollator(proc, enc.strategy(), num_image_in_query=1)
+    batch = _to_device_batch(collator(string_batch()))
+    losses = []
+    for _ in range(8):
+        state, metrics = step(state, frozen, batch)
+        losses.append(float(metrics["loss"]))
+    assert all(np.isfinite(losses))
+    assert losses[-1] < losses[0], losses
