@@ -43,6 +43,9 @@ class ImageProcessor:
     std: Sequence[float] = SIGLIP_STD
     mode: str = "square"
     min_size: int = 378
+    # HF processors differ: idefics2 resizes BILINEAR, idefics1 (IdeficsImageProcessor)
+    # and CLIP/SigLIP (llava) resize BICUBIC
+    resample: str = "bilinear"
 
     def __call__(self, image) -> np.ndarray:
         arr, _ = self.process_with_region(image)
@@ -94,21 +97,21 @@ class ImageProcessor:
             arr = np.clip(arr, 0, 255).astype(np.uint8)
         return arr
 
-    @staticmethod
-    def _resize(arr: np.ndarray, h: int, w: int) -> np.ndarray:
-        """Bilinear resize: native C++ (bit-exact PIL reimplementation,
-        ``native/image_ops.cpp``) → PIL → numpy fallback, in that order."""
+    def _resize(self, arr: np.ndarray, h: int, w: int) -> np.ndarray:
+        """Resize with the family's PIL filter: native C++ (bit-exact PIL
+        reimplementation, ``native/image_ops.cpp``) → PIL → numpy fallback."""
         if arr.shape[0] == h and arr.shape[1] == w:
             return arr
-        from ..native import resize_bilinear_native
+        from ..native import resize_native
 
-        out = resize_bilinear_native(arr, h, w)
+        out = resize_native(arr, h, w, self.resample)
         if out is not None:
             return out
         try:
             from PIL import Image
 
-            return np.asarray(Image.fromarray(arr).resize((w, h), Image.BILINEAR))
+            flt = Image.BICUBIC if self.resample == "bicubic" else Image.BILINEAR
+            return np.asarray(Image.fromarray(arr).resize((w, h), flt))
         except ImportError:  # pragma: no cover
             ys = np.linspace(0, arr.shape[0] - 1, h)
             xs = np.linspace(0, arr.shape[1] - 1, w)
@@ -139,6 +142,9 @@ class LVLMProcessor:
         self.image_processor = ImageProcessor(
             size=size, mean=mean, std=std, mode=mode,
             min_size=min(378, size),
+            # idefics2 = BILINEAR (Idefics2ImageProcessor); idefics1 and the
+            # CLIP/SigLIP towers of llava = BICUBIC (their HF processors)
+            resample="bilinear" if cfg.family == "idefics2" else "bicubic",
         )
         self.patch_size = cfg.vision.patch_size if cfg.vision else 14
 

@@ -58,10 +58,11 @@ def _build_and_load() -> Optional[ctypes.CDLL]:
         lib.ptb_tokenize_line.restype = ctypes.c_int
         u8 = ctypes.POINTER(ctypes.c_uint8)
         f32 = ctypes.POINTER(ctypes.c_float)
-        lib.resize_bilinear_u8.argtypes = [
+        lib.resize_u8.argtypes = [
             u8, ctypes.c_int, ctypes.c_int, u8, ctypes.c_int, ctypes.c_int,
+            ctypes.c_int,
         ]
-        lib.resize_bilinear_u8.restype = ctypes.c_int
+        lib.resize_u8.restype = ctypes.c_int
         lib.resize_normalize_f32.argtypes = [
             u8, ctypes.c_int, ctypes.c_int, f32, ctypes.c_int, ctypes.c_int,
             f32, f32,
@@ -96,26 +97,34 @@ def ptb_tokenize_native(line: str, lowercase: bool = True) -> Optional[List[str]
     return out.split(" ") if out else []
 
 
-def resize_bilinear_native(arr, h: int, w: int):
-    """PIL-BILINEAR-exact uint8 RGB resize in C++; None when unavailable.
+def resize_native(arr, h: int, w: int, resample: str = "bilinear"):
+    """PIL-exact uint8 RGB resize in C++; None when unavailable.
 
     ``arr``: [H,W,3] uint8 C-contiguous numpy array → [h,w,3] uint8.
-    Bit-identical to ``PIL.Image.resize((w, h), Image.BILINEAR)`` (the Python
-    path is the oracle, see tests/test_native_image_ops.py).
+    ``resample``: "bilinear" or "bicubic" — bit-identical to
+    ``PIL.Image.resize((w, h), Image.<RESAMPLE>)`` (the Python path is the
+    oracle, see tests/test_native_image_ops.py).
     """
     lib = _build_and_load()
     if lib is None:
         return None
     import numpy as np
 
+    mode = {"bilinear": 0, "bicubic": 1}.get(resample)
+    if mode is None:
+        return None
     src = np.ascontiguousarray(arr, dtype=np.uint8)
     if src.ndim != 3 or src.shape[2] != 3:
         return None
     dst = np.empty((h, w, 3), np.uint8)
-    rc = lib.resize_bilinear_u8(
+    rc = lib.resize_u8(
         src.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
         src.shape[0], src.shape[1],
         dst.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
-        h, w,
+        h, w, mode,
     )
     return dst if rc == 0 else None
+
+
+def resize_bilinear_native(arr, h: int, w: int):
+    return resize_native(arr, h, w, "bilinear")

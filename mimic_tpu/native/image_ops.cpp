@@ -1,7 +1,7 @@
 // Native image resize for the host input pipeline.
 //
-// Bit-exact reimplementation of PIL's BILINEAR resampling for uint8 RGB
-// images (Pillow src/libImaging/Resample.c): a separable triangle-filter
+// Bit-exact reimplementation of PIL's BILINEAR and BICUBIC resampling for
+// uint8 RGB images (Pillow src/libImaging/Resample.c): a separable filter
 // convolution with support scaled by the downscale factor, coefficients
 // quantized to fixed point (PRECISION_BITS), horizontal pass then vertical
 // pass, each rounding back to uint8.  Bit-exactness lets the Python PIL path
@@ -34,13 +34,32 @@ inline double bilinear_filter(double x) {
     return 0.0;
 }
 
+// PIL bicubic (Catmull-Rom with a = -0.5), support 2.0
+inline double bicubic_filter(double x) {
+    constexpr double a = -0.5;
+    if (x < 0.0) x = -x;
+    if (x < 1.0) return ((a + 2.0) * x - (a + 3.0)) * x * x + 1.0;
+    if (x < 2.0) return (((x - 5.0) * x + 8.0) * x - 4.0) * a;
+    return 0.0;
+}
+
+typedef double (*filter_fn)(double);
+
+inline filter_fn pick_filter(int mode, double& support) {
+    if (mode == 1) { support = 2.0; return bicubic_filter; }
+    support = 1.0;
+    return bilinear_filter;
+}
+
 // PIL precompute_coeffs: per output index, the window [bound, bound+count)
 // into the input and the normalized filter weights.
 int precompute_coeffs(int in_size, int out_size, std::vector<int>& bounds,
-                      std::vector<double>& kk) {
+                      std::vector<double>& kk, int mode) {
     double scale = (double)in_size / out_size;
     double filterscale = scale < 1.0 ? 1.0 : scale;
-    double support = 1.0 * filterscale;  // bilinear support = 1.0
+    double base_support;
+    filter_fn filt = pick_filter(mode, base_support);
+    double support = base_support * filterscale;
     int ksize = (int)ceil(support) * 2 + 1;
 
     kk.assign((size_t)out_size * ksize, 0.0);
@@ -58,7 +77,7 @@ int precompute_coeffs(int in_size, int out_size, std::vector<int>& bounds,
         double* k = &kk[(size_t)xx * ksize];
         int x;
         for (x = 0; x < xmax; x++) {
-            double w = bilinear_filter((x + xmin - center + 0.5) * ss) * ss;
+            double w = filt((x + xmin - center + 0.5) * ss) * ss;
             k[x] = w;
             ww += w;
         }
@@ -87,9 +106,10 @@ void quantize_coeffs(const std::vector<double>& prekk, std::vector<int>& kk) {
 extern "C" {
 
 // src: [sh, sw, 3] uint8 RGB, row-major.  dst: [dh, dw, 3] uint8.
+// mode: 0 = bilinear, 1 = bicubic (both PIL-bit-exact).
 // Returns 0 on success, -1 on invalid arguments.
-int resize_bilinear_u8(const uint8_t* src, int sh, int sw, uint8_t* dst,
-                       int dh, int dw) {
+int resize_u8(const uint8_t* src, int sh, int sw, uint8_t* dst,
+              int dh, int dw, int mode) {
     if (!src || !dst || sh <= 0 || sw <= 0 || dh <= 0 || dw <= 0) return -1;
     if (sh == dh && sw == dw) {
         memcpy(dst, src, (size_t)sh * sw * 3);
@@ -99,9 +119,9 @@ int resize_bilinear_u8(const uint8_t* src, int sh, int sw, uint8_t* dst,
     std::vector<int> bounds_h, bounds_v;
     std::vector<double> prekk;
     std::vector<int> kk_h, kk_v;
-    int ksize_h = precompute_coeffs(sw, dw, bounds_h, prekk);
+    int ksize_h = precompute_coeffs(sw, dw, bounds_h, prekk, mode);
     quantize_coeffs(prekk, kk_h);
-    int ksize_v = precompute_coeffs(sh, dh, bounds_v, prekk);
+    int ksize_v = precompute_coeffs(sh, dh, bounds_v, prekk, mode);
     quantize_coeffs(prekk, kk_v);
 
     // horizontal pass: [sh, sw, 3] -> [sh, dw, 3]
@@ -142,6 +162,12 @@ int resize_bilinear_u8(const uint8_t* src, int sh, int sw, uint8_t* dst,
     return 0;
 }
 
+// Back-compat alias (mode 0).
+int resize_bilinear_u8(const uint8_t* src, int sh, int sw, uint8_t* dst,
+                       int dh, int dw) {
+    return resize_u8(src, sh, sw, dst, dh, dw, 0);
+}
+
 // Fused resize + rescale(1/255) + per-channel normalize into float32 output.
 // mean/stdv: 3 floats each.  Resize is the bit-exact uint8 path above, so the
 // result equals normalize(resize(src)) of the Python pipeline exactly.
@@ -149,7 +175,7 @@ int resize_normalize_f32(const uint8_t* src, int sh, int sw, float* dst,
                          int dh, int dw, const float* mean, const float* stdv) {
     if (!dst || !mean || !stdv) return -1;
     std::vector<uint8_t> resized((size_t)dh * dw * 3);
-    int rc = resize_bilinear_u8(src, sh, sw, resized.data(), dh, dw);
+    int rc = resize_u8(src, sh, sw, resized.data(), dh, dw, 0);
     if (rc != 0) return rc;
     float inv_std[3], off[3];
     for (int c = 0; c < 3; c++) {

@@ -52,3 +52,29 @@ def test_image_processor_uses_native_path():
     expected = np.zeros((28, 28, 3), np.float32)
     expected[:, :14] = (resized.astype(np.float32) / 255.0 - 0.5) / 0.5
     np.testing.assert_allclose(arr, expected, rtol=0, atol=1e-6)
+
+
+@pytest.mark.parametrize(
+    "src,dst",
+    [((100, 50), (28, 28)), ((40, 40), (224, 224)), ((7, 13), (13, 7))],
+)
+def test_bicubic_bit_exact_vs_pil(src, dst):
+    from mimic_tpu.native import resize_native
+
+    rng = np.random.default_rng(hash(src + dst) % 2**32)
+    arr = rng.integers(0, 256, size=src + (3,), dtype=np.uint8)
+    ours = resize_native(arr, *dst, "bicubic")
+    ref = np.asarray(PIL.fromarray(arr).resize((dst[1], dst[0]), PIL.BICUBIC))
+    np.testing.assert_array_equal(ours, ref)
+
+
+def test_family_resample_selection():
+    """idefics2 resizes BILINEAR, idefics1/llava BICUBIC (their HF processors)."""
+    from mimic_tpu.models.config import get_model_config
+    from mimic_tpu.models.processor import LVLMProcessor
+    from mimic_tpu.models.tokenizer import SimpleTokenizer
+
+    tk = SimpleTokenizer()
+    assert LVLMProcessor(get_model_config("tiny-idefics2"), tk).image_processor.resample == "bilinear"
+    assert LVLMProcessor(get_model_config("tiny-idefics1"), tk).image_processor.resample == "bicubic"
+    assert LVLMProcessor(get_model_config("tiny-llava-interleave"), tk).image_processor.resample == "bicubic"
