@@ -31,7 +31,9 @@ SIGLIP_STD = (0.5, 0.5, 0.5)
 class ImageProcessor:
     """Resize + rescale + normalize → [H, W, 3] float32 arrays.
 
-    ``mode="square"`` stretches to ``size×size`` (CLIP/LLaVA-SigLIP behavior);
+    ``mode="square"`` stretches to ``size×size`` (IdeficsImageProcessor /
+    SiglipImageProcessor behavior); ``mode="shortest_crop"`` resizes the
+    shortest edge to ``size`` then center-crops (CLIPImageProcessor — llava-1.5);
     ``mode="longest_edge"`` keeps the aspect ratio with the longest edge at
     ``size`` (min shortest edge ``min_size``), pads the canvas top-left, and also
     returns the valid-pixel region (Idefics2 behavior — the vision tower gets a
@@ -75,6 +77,19 @@ class ImageProcessor:
             canvas = np.zeros((self.size, self.size, 3), np.float32)
             canvas[:nh, :nw] = normalize(arr)
             return canvas, (nh, nw)
+        if self.mode == "shortest_crop":
+            # HF get_resize_output_image_size(default_to_square=False) +
+            # center_crop: shortest edge → size (int-truncated long edge),
+            # floor-centered crop
+            h, w = arr.shape[:2]
+            short, long = (w, h) if w <= h else (h, w)
+            new_short, new_long = self.size, int(self.size * long / short)
+            nh, nw = (new_long, new_short) if w <= h else (new_short, new_long)
+            arr = self._resize(arr, nh, nw)
+            top = (nh - self.size) // 2
+            left = (nw - self.size) // 2
+            arr = arr[top:top + self.size, left:left + self.size]
+            return normalize(arr), (self.size, self.size)
         arr = self._resize(arr, self.size, self.size)
         return normalize(arr), (self.size, self.size)
 
@@ -133,12 +148,21 @@ class LVLMProcessor:
         self.cfg = cfg
         self.tokenizer = tokenizer
         size = image_size or (cfg.vision.image_size if cfg.vision else 224)
-        mean, std = (
-            (CLIP_MEAN, CLIP_STD) if cfg.family == "idefics1" else (SIGLIP_MEAN, SIGLIP_STD)
+        # CLIP towers (idefics1, llava-1.5) use OpenAI-CLIP statistics; SigLIP
+        # towers (idefics2, llava-interleave) use 0.5/0.5
+        clip_tower = cfg.family == "idefics1" or (
+            cfg.vision is not None and cfg.vision.use_class_token
         )
+        mean, std = (CLIP_MEAN, CLIP_STD) if clip_tower else (SIGLIP_MEAN, SIGLIP_STD)
         # idefics2 keeps aspect ratio (HF longest-edge resize + pixel mask);
-        # idefics1/llava use fixed square resize
-        mode = "longest_edge" if cfg.family == "idefics2" else "square"
+        # llava-1.5 (CLIP tower) resizes shortest-edge + center-crops;
+        # idefics1 / llava-interleave (SigLIP) use fixed square resize
+        if cfg.family == "idefics2":
+            mode = "longest_edge"
+        elif cfg.family == "llava-interleave" and cfg.vision and cfg.vision.use_class_token:
+            mode = "shortest_crop"
+        else:
+            mode = "square"
         self.image_processor = ImageProcessor(
             size=size, mean=mean, std=std, mode=mode,
             min_size=min(378, size),

@@ -219,3 +219,85 @@ def test_idefics2_matches_hf_processor(hf_tok_plain, text, n_images):
                         if r0 < h and c0 < w else False
                     )
                     assert bool(ours["patch_mask"][b, i, pr, pc]) == bool(hf_any)
+
+
+@pytest.fixture(scope="module")
+def hf_tok_llava():
+    from tokenizers import Tokenizer, models, pre_tokenizers, trainers
+    from transformers import PreTrainedTokenizerFast
+
+    tok = Tokenizer(models.BPE(unk_token="<unk>"))
+    tok.pre_tokenizer = pre_tokenizers.ByteLevel(add_prefix_space=False)
+    trainer = trainers.BpeTrainer(
+        vocab_size=300,
+        special_tokens=["<unk>", "<s>", "</s>", "<pad>", "<image>"],
+    )
+    tok.train_from_iterator(
+        ["User: describe this. Assistant: a red cat two"] * 30, trainer
+    )
+    return PreTrainedTokenizerFast(
+        tokenizer_object=tok, unk_token="<unk>", bos_token="<s>", eos_token="</s>",
+        pad_token="<pad>", additional_special_tokens=["<image>"],
+    )
+
+
+@pytest.mark.parametrize("style", ["interleave", "1.5"])
+def test_llava_matches_hf_processor(hf_tok_llava, style):
+    """llava: image-token expansion to the patch count and the tower-specific
+    pixel pipelines — SigLIP square stretch (interleave) vs CLIP shortest-edge
+    + center-crop (1.5) — match the HF LlavaProcessor."""
+    from transformers.models.llava.processing_llava import LlavaProcessor
+
+    from mimic_tpu.models.config import get_model_config
+    from mimic_tpu.models.processor import LVLMProcessor
+    from mimic_tpu.models.tokenizer import HFTokenizerAdapter
+
+    rng = np.random.default_rng(2)
+    img = PIL.fromarray(rng.integers(0, 255, size=(40, 50, 3), dtype=np.uint8))
+    text = "User: <image> describe this."
+
+    if style == "interleave":
+        from transformers.models.siglip.image_processing_siglip import (
+            SiglipImageProcessor,
+        )
+
+        ip = SiglipImageProcessor(size={"height": 28, "width": 28})
+        strategy = "full"
+        cfg = get_model_config("tiny-llava-interleave")
+        n_expected = 4  # (28/14)^2
+    else:
+        from transformers.models.clip.image_processing_clip import CLIPImageProcessor
+
+        ip = CLIPImageProcessor(
+            size={"shortest_edge": 28}, crop_size={"height": 28, "width": 28}
+        )
+        strategy = "default"
+        cfg = get_model_config("tiny-llava-interleave").replace(
+            vision=get_model_config("tiny-llava-interleave").vision.__class__(
+                **{**get_model_config("tiny-llava-interleave").vision.__dict__,
+                   "use_class_token": True, "hidden_act": "quick_gelu"}
+            )
+        )
+        n_expected = 4  # (28/14)^2, CLS dropped by "default" strategy
+
+    hf_proc = LlavaProcessor(
+        image_processor=ip, tokenizer=hf_tok_llava, patch_size=14,
+        vision_feature_select_strategy=strategy, image_token="<image>",
+        num_additional_image_tokens=1 if style == "1.5" else 0,
+    )
+    hf_out = hf_proc(text=[text], images=[img], return_tensors="pt", padding=True)
+
+    ours = LVLMProcessor(cfg, HFTokenizerAdapter(hf_tok_llava), image_size=28)(
+        [[img]], [text]
+    )
+    img_id = hf_tok_llava.convert_tokens_to_ids("<image>")
+    assert int((hf_out["input_ids"] == img_id).sum()) == n_expected
+    np.testing.assert_array_equal(ours["input_ids"], hf_out["input_ids"].numpy())
+    np.testing.assert_array_equal(
+        ours["attention_mask"], hf_out["attention_mask"].numpy()
+    )
+    # llava pixel_values: [1,3,H,W]
+    np.testing.assert_allclose(
+        ours["pixel_values"][:, 0].transpose(0, 3, 1, 2),
+        hf_out["pixel_values"].numpy(), rtol=1e-5, atol=1e-5,
+    )
