@@ -55,10 +55,6 @@ def _prefill(params, cfg, batch: LVLMBatch, total_len: int, shift, adapters, lor
     return last_logits, out.decoder.kv_cache, image_feats
 
 
-def _decode_mask_row(attn_mask_full: jnp.ndarray) -> jnp.ndarray:
-    return attn_mask_full[:, None, None, :].astype(bool)
-
-
 @partial(
     jax.jit,
     static_argnames=(
