@@ -98,3 +98,41 @@ def test_disk_roundtrip(tmp_path, monkeypatch):
             pixel_attention_mask=torch.ones((1, 1, 28, 28), dtype=torch.long),
         ).logits.numpy()
     np.testing.assert_allclose(ours, hf_logits, rtol=2e-4, atol=2e-4)
+
+
+def test_disk_roundtrip_bf16_checkpoint(tmp_path, monkeypatch):
+    """Real checkpoints ship as (sharded) bf16 safetensors; the whole
+    load → convert → save → load flow must survive ml_dtypes bfloat16 arrays."""
+    model = tiny_hf_idefics2().to(torch.bfloat16)
+    hf_dir = str(tmp_path / "hf16")
+    model.save_pretrained(hf_dir, safe_serialization=True)
+
+    import mimic_tpu.models.config as C
+
+    monkeypatch.setitem(C.MODEL_CONFIGS, "roundtrip", lambda: OUR_CFG)
+    out = convert_checkpoint("roundtrip", hf_dir)
+    assert os.path.exists(out)
+
+    params = load_params(OUR_CFG, hf_dir, dtype=jnp.float32)
+
+    rng = np.random.default_rng(0)
+    ids = rng.integers(1, 90, size=(1, 10)).astype(np.int32)
+    ids[0, 2:6] = 99
+    pixels = rng.normal(size=(1, 1, 28, 28, 3)).astype(np.float32)
+    batch = LVLMBatch(
+        input_ids=jnp.asarray(ids),
+        attention_mask=jnp.ones((1, 10), jnp.int32),
+        pixel_values=jnp.asarray(pixels),
+        pixel_mask=jnp.ones((1, 1), jnp.int32),
+    )
+    ours = np.asarray(lvlm_forward(params, OUR_CFG, batch).logits)
+
+    with torch.no_grad():
+        hf_logits = model.float()(
+            input_ids=torch.tensor(ids.astype(np.int64)),
+            attention_mask=torch.ones((1, 10), dtype=torch.long),
+            pixel_values=torch.tensor(pixels.transpose(0, 1, 4, 2, 3)),
+            pixel_attention_mask=torch.ones((1, 1, 28, 28), dtype=torch.long),
+        ).logits.numpy()
+    # bf16 storage costs precision; fp32 recompute differs at ~bf16 ulp scale
+    np.testing.assert_allclose(ours, hf_logits, rtol=0.05, atol=0.05)
