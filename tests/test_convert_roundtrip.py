@@ -136,3 +136,23 @@ def test_disk_roundtrip_bf16_checkpoint(tmp_path, monkeypatch):
         ).logits.numpy()
     # bf16 storage costs precision; fp32 recompute differs at ~bf16 ulp scale
     np.testing.assert_allclose(ours, hf_logits, rtol=0.05, atol=0.05)
+
+
+def test_sharded_checkpoint_loads(tmp_path, monkeypatch):
+    """8B checkpoints ship sharded (model-0000X-of-0000N.safetensors + index);
+    the loader must merge every shard."""
+    model = tiny_hf_idefics2()
+    hf_dir = str(tmp_path / "sharded")
+    model.save_pretrained(hf_dir, safe_serialization=True, max_shard_size="200KB")
+    shards = [f for f in os.listdir(hf_dir) if f.endswith(".safetensors")]
+    assert len(shards) > 1, shards
+
+    sd = load_torch_state_dict(hf_dir)
+    assert "model.text_model.embed_tokens.weight" in sd or any(
+        "embed_tokens" in k for k in sd
+    )
+    import mimic_tpu.models.config as C
+
+    monkeypatch.setitem(C.MODEL_CONFIGS, "roundtrip", lambda: OUR_CFG)
+    out = convert_checkpoint("roundtrip", hf_dir)
+    assert os.path.exists(out)
