@@ -292,6 +292,9 @@ class TestGenerationParity:
             hf_beam = model.generate(
                 **gen_common, num_beams=3, length_penalty=0.0, early_stopping=False
             )[:, T:].numpy()
+            hf_beam_lp = model.generate(
+                **gen_common, num_beams=3, length_penalty=1.0, early_stopping=False
+            )[:, T:].numpy()
 
         from mimic_tpu.models.generate import beam_generate, greedy_generate
 
@@ -323,6 +326,13 @@ class TestGenerationParity:
             beam_generate(params, cfg, batch, 6, 3, 2, 0, length_penalty=0.0).tokens
         )
         for row_ours, row_hf in zip(ours_b, hf_beam):
+            assert self._until_eos(row_ours, 2) == self._until_eos(row_hf, 2)
+
+        # nonzero penalty exercises the penalized-ranking path (HF score/len^lp)
+        ours_lp = np.asarray(
+            beam_generate(params, cfg, batch, 6, 3, 2, 0, length_penalty=1.0).tokens
+        )
+        for row_ours, row_hf in zip(ours_lp, hf_beam_lp):
             assert self._until_eos(row_ours, 2) == self._until_eos(row_hf, 2)
 
     def test_llava_greedy_and_beam_match_hf(self):
