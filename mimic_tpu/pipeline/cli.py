@@ -101,11 +101,26 @@ def _pipeline(args: List[str]) -> None:
     run_pipeline(spec, result_dir=ns.result_dir, runner=runner)
 
 
+def _maybe_init_distributed() -> None:
+    """Multi-host: ``MIMIC_TPU_DISTRIBUTED=1`` runs ``jax.distributed.initialize()``
+    (coordinator/process env comes from the TPU runtime).  Opt-in so single-host
+    runs never pay coordinator discovery; the per-host grid/query sharding in
+    train_entry/runner keys off ``jax.process_index()`` either way — the analog
+    of the reference's DistributedSampler + Lightning world-size plumbing."""
+    import os
+
+    if os.environ.get("MIMIC_TPU_DISTRIBUTED") == "1":
+        import jax
+
+        jax.distributed.initialize()
+
+
 def main(argv: Optional[List[str]] = None) -> None:
     argv = argv if argv is not None else sys.argv[1:]
     if not argv or argv[0] in ("-h", "--help"):
         print(__doc__)
         return
+    _maybe_init_distributed()
     command, rest = argv[0], argv[1:]
     if command == "train":
         _train(rest)
