@@ -137,6 +137,9 @@ class EvalConfig:
     # fold LoRA adapters into the weights before eval (peft merge_and_unload)
     merge_lora: bool = True
     dtype: str = "bfloat16"
+    # weight-only int8 serving mode (ops/quant.py): None (bit-parity default),
+    # "int8" (dual-copy: bf16 prefill + int8 decode), "int8-memory" (single copy)
+    quant: Optional[str] = None
     generation: GenerationConfig = field(default_factory=GenerationConfig)
     data: DataConfig = field(default_factory=DataConfig)
     encoder: EncoderConfig = field(default_factory=EncoderConfig)

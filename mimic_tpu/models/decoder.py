@@ -147,11 +147,13 @@ def _project_qkv(
     lp: Params, ad: Params, x: jnp.ndarray, cfg: TextConfig, scaling,
     drop_keys=None, drop_rate: float = 0.0,
 ):
+    from ..ops.quant import qdot
+
     B, T, _ = x.shape
     H, Hkv, Dh = cfg.num_heads, cfg.num_kv_heads, cfg.head_size
-    q = jnp.dot(x, lp["q_proj"])
-    k = jnp.dot(x, lp["k_proj"])
-    v = jnp.dot(x, lp["v_proj"])
+    q = qdot(x, lp["q_proj"])
+    k = qdot(x, lp["k_proj"])
+    v = qdot(x, lp["v_proj"])
     if "q_bias" in lp:
         q = q + lp["q_bias"]
         k = k + lp["k_bias"]
@@ -228,7 +230,9 @@ def _self_attention(
             log_z2 = lse if logz2 == "masked" else lse_u
             attn = apply_attn_shift(ls, q, log_z2, attn, multi_head)
         attn_flat = attn.reshape(B, T, -1)
-        out = jnp.dot(attn_flat, lp["o_proj"])
+        from ..ops.quant import qdot
+
+        out = qdot(attn_flat, lp["o_proj"])
         do = _lora_delta(
             ad, "o", attn_flat, lora_scaling,
             None if drop_keys is None else drop_keys[3], drop_rate,
@@ -263,7 +267,9 @@ def _self_attention(
             attn = apply_attn_shift(ls, q, log_z2, attn, multi_head)
 
     attn_flat = attn.reshape(B, T, -1)
-    out = jnp.dot(attn_flat, lp["o_proj"])
+    from ..ops.quant import qdot
+
+    out = qdot(attn_flat, lp["o_proj"])
     do = _lora_delta(
         ad, "o", attn_flat, lora_scaling,
         None if drop_keys is None else drop_keys[3], drop_rate,
@@ -281,19 +287,21 @@ def _cross_attention(
     cfg: TextConfig,
 ) -> jnp.ndarray:
     """IDEFICS-1 gated cross-attention + gated MLP for one cross layer."""
+    from ..ops.quant import qdot
+
     B, T, _ = x.shape
     H, Hkv, Dh = cfg.num_heads, cfg.num_kv_heads, cfg.head_size
     residual = x
     h = rms_norm(x, cp["input_ln"], cfg.norm_eps)
-    q = jnp.dot(h, cp["q_proj"]).reshape(B, T, H, Dh)
+    q = qdot(h, cp["q_proj"]).reshape(B, T, H, Dh)
     S = cross_states.shape[1]
-    k = jnp.dot(cross_states, cp["k_proj"]).reshape(B, S, Hkv, Dh)
-    v = jnp.dot(cross_states, cp["v_proj"]).reshape(B, S, Hkv, Dh)
+    k = qdot(cross_states, cp["k_proj"]).reshape(B, S, Hkv, Dh)
+    v = qdot(cross_states, cp["v_proj"]).reshape(B, S, Hkv, Dh)
     if cfg.cross_qk_layernorm:
         q = rms_norm(q, cp["q_ln"], cfg.norm_eps)
         k = rms_norm(k, cp["k_ln"], cfg.norm_eps)
     attn, _ = sdpa_with_lse(q, repeat_kv(k, cfg.num_groups), repeat_kv(v, cfg.num_groups), cross_mask)
-    attn_out = jnp.dot(attn.reshape(B, T, -1), cp["o_proj"])
+    attn_out = qdot(attn.reshape(B, T, -1), cp["o_proj"])
     h = residual + jnp.tanh(cp["alpha_attn"]).astype(x.dtype) * attn_out
     residual = h
     m = rms_norm(h, cp["post_ln"], cfg.norm_eps)
@@ -442,20 +450,35 @@ def decoder_forward(
             cfg.num_layers, 4, 2
         )
 
-    def scan_layers(h, lp_stack, ls, os_, ad, pa, pf, dk_stack, ck, cv, pk=None, pv=None):
+    def scan_layers(
+        h, lp_stack, ls, os_, ad, pa, pf, dk_stack, ck, cv, pk=None, pv=None,
+        layer_offset: int = 0,
+    ):
         """Scan over a stack of self-attn layers; returns (h, ys_stacked).
 
         Absent optional inputs (shift pytrees, caches) are replaced by tiny dummy
         arrays so every scan xs leaf has the same leading axis; static flags decide
         which inputs the step actually reads.
+
+        Int8-quantized weights (``ops/quant.py`` dicts) are NOT threaded through
+        the scan xs — a dynamic slice feeding an opaque Pallas call would
+        materialize a per-layer HBM copy.  Instead the full stacked int8 arrays
+        stay closure-captured and the scan carries only the layer index; ``qdot``
+        reads blocks straight out of the stack (scalar-prefetch index map).
         """
-        n = jax.tree.leaves(lp_stack)[0].shape[0]
+        from ..ops.quant import is_quantized
+
+        lp_plain = {k: v for k, v in lp_stack.items() if not is_quantized(v)}
+        lp_quant = {k: v for k, v in lp_stack.items() if is_quantized(v)}
+        n = jax.tree.leaves(lp_plain)[0].shape[0]
+        idx = jnp.arange(layer_offset, layer_offset + n, dtype=jnp.int32)
         dummy = jnp.zeros((n, 1))
         has_ls, has_os, has_ad = ls is not None, os_ is not None, ad is not None
         has_pa, has_pf = pa is not None, pf is not None
         dkeys = dk_stack
         xs = (
-            lp_stack,
+            lp_plain,
+            idx,
             ls if has_ls else dummy,
             os_ if has_os else dummy,
             ad if has_ad else dummy,
@@ -469,7 +492,11 @@ def decoder_forward(
         )
 
         def step(h, xs_):
-            lp, ls_, os__, ad_, pa_, pf_, dk__, ck_, cv_, pk_, pv_ = xs_
+            lp, idx_, ls_, os__, ad_, pa_, pf_, dk__, ck_, cv_, pk_, pv_ = xs_
+            if lp_quant:
+                lp = dict(lp)
+                for name, qw in lp_quant.items():
+                    lp[name] = {"q8": qw["q8"], "scale": qw["scale"], "layer": idx_}
             return layer_step(
                 h,
                 (
@@ -505,15 +532,21 @@ def decoder_forward(
         K = cfg.cross_attn_interval
         G = cfg.num_cross_layers
         ys_groups = []
+        from ..ops.quant import is_quantized
+
         for g in range(G):
             cp = jax.tree.map(lambda a: a[g], params["cross"])
             if cross_states is not None:
                 h = _cross_attention(cp, h, cross_states, cross_mask, cfg)
             lo, hi = g * K, (g + 1) * K
             sl = lambda t: jax.tree.map(lambda a: a[lo:hi], t)
+            # quantized stacks stay whole (scan carries indices lo..hi instead)
+            sl_layers = {
+                k: (v if is_quantized(v) else v[lo:hi]) for k, v in layers.items()
+            }
             h, ys = scan_layers(
                 h,
-                sl(layers),
+                sl_layers,
                 sl(ls_stack) if ls_stack else None,
                 sl(os_stack) if os_stack else None,
                 sl(ad_stack) if ad_stack else None,
@@ -524,6 +557,7 @@ def decoder_forward(
                 cv_stack[lo:hi] if use_cache else None,
                 pk_stack[lo:hi] if has_prompt else None,
                 pv_stack[lo:hi] if has_prompt else None,
+                layer_offset=lo,
             )
             ys_groups.append(ys)
         ys = jax.tree.map(lambda *a: jnp.concatenate(a, axis=0), *ys_groups)

@@ -55,6 +55,7 @@ def build_model(
     dtype=jnp.bfloat16,
     params: Optional[Dict[str, Any]] = None,
     tokenizer=None,
+    quant: Optional[str] = None,
 ) -> LVLMRunner:
     paths = paths or get_paths()
     cfg = get_model_config(model_name)
@@ -80,4 +81,4 @@ def build_model(
         image_size = 448
     if params is None:
         params = load_params(cfg, path, dtype=dtype)
-    return LVLMRunner(cfg, params, tokenizer, image_size=image_size)
+    return LVLMRunner(cfg, params, tokenizer, image_size=image_size, quant=quant)

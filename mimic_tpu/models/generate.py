@@ -24,6 +24,15 @@ from .lvlm import LVLMBatch, encode_images, lvlm_forward
 NEG = -1.0e9
 
 
+def _param_dtype(params):
+    """Model compute dtype: the first floating-point leaf (int8-quantized weight
+    tables and their scales don't define the KV-cache/activation dtype)."""
+    for leaf in jax.tree.leaves(params):
+        if jnp.issubdtype(leaf.dtype, jnp.floating) and leaf.dtype != jnp.float32:
+            return leaf.dtype
+    return jnp.float32
+
+
 class GenerateResult(NamedTuple):
     tokens: jnp.ndarray  # [B, max_new_tokens], pad-filled after EOS
     scores: jnp.ndarray  # [B] sequence scores (beam) or 0.0 (greedy)
@@ -73,10 +82,14 @@ def greedy_generate(
     lora_scaling: float = 1.0,
     logz2: str = "unmasked",
     attn_impl: str = "xla",
+    decode_params=None,
 ) -> GenerateResult:
     B, T = batch.input_ids.shape
     total = T + max_new_tokens
-    dtype = jax.tree.leaves(params)[0].dtype
+    # serving mode: prefill runs the full-precision tree at matmul roofline;
+    # decode steps stream the int8 copy (weight HBM is the decode bound)
+    dparams = decode_params if decode_params is not None else params
+    dtype = _param_dtype(params)
     last_logits, cache, image_feats = _prefill(
         params, cfg, batch, total, shift, adapters, lora_scaling, logz2, dtype,
         attn_impl,
@@ -106,7 +119,7 @@ def greedy_generate(
             image_attention_mask=last_img_row,
         )
         out = lvlm_forward(
-            params, cfg, step_batch,
+            dparams, cfg, step_batch,
             image_feats=image_feats,
             position_ids=(n_real + i)[:, None],
             kv_cache=cache,
@@ -146,12 +159,16 @@ def beam_generate(
     lora_scaling: float = 1.0,
     logz2: str = "unmasked",
     attn_impl: str = "xla",
+    decode_params=None,
 ) -> GenerateResult:
     """HF-semantics beam search (do_sample=False, early_stopping=False)."""
     B, T = batch.input_ids.shape
     K = num_beams
     total = T + max_new_tokens
-    dtype = jax.tree.leaves(params)[0].dtype
+    # serving mode: prefill runs the full-precision tree at matmul roofline;
+    # decode steps stream the int8 copy (weight HBM is the decode bound)
+    dparams = decode_params if decode_params is not None else params
+    dtype = _param_dtype(params)
 
     last_logits, cache, image_feats = _prefill(
         params, cfg, batch, total, shift, adapters, lora_scaling, logz2, dtype,
@@ -258,7 +275,7 @@ def beam_generate(
             image_attention_mask=last_img_row,
         )
         out = lvlm_forward(
-            params, cfg, step_batch,
+            dparams, cfg, step_batch,
             image_feats=image_feats,
             position_ids=(n_real + i - 1)[:, None],
             kv_cache=state.cache,
@@ -370,6 +387,7 @@ def sample_generate(
     lora_scaling: float = 1.0,
     logz2: str = "unmasked",
     attn_impl: str = "xla",
+    decode_params=None,
 ) -> GenerateResult:
     """Ancestral sampling with HF-style logits processing order:
     temperature → top-k → top-p (``do_sample=True`` path of the reference's
@@ -380,7 +398,10 @@ def sample_generate(
     """
     B, T = batch.input_ids.shape
     total = T + max_new_tokens
-    dtype = jax.tree.leaves(params)[0].dtype
+    # serving mode: prefill runs the full-precision tree at matmul roofline;
+    # decode steps stream the int8 copy (weight HBM is the decode bound)
+    dparams = decode_params if decode_params is not None else params
+    dtype = _param_dtype(params)
     last_logits, cache, image_feats = _prefill(
         params, cfg, batch, total, shift, adapters, lora_scaling, logz2, dtype,
         attn_impl,
@@ -433,7 +454,7 @@ def sample_generate(
             image_attention_mask=last_img_row,
         )
         out = lvlm_forward(
-            params, cfg, step_batch,
+            dparams, cfg, step_batch,
             image_feats=image_feats,
             position_ids=(n_real + i)[:, None],
             kv_cache=cache,

@@ -247,10 +247,15 @@ def unmasked_lse(q: jnp.ndarray, k: jnp.ndarray, scale: Optional[float] = None) 
 
 
 def swiglu_mlp(x: jnp.ndarray, gate_w: jnp.ndarray, up_w: jnp.ndarray, down_w: jnp.ndarray) -> jnp.ndarray:
-    """LLaMA-family MLP: down(silu(gate(x)) * up(x)); weights stored [in, out]."""
-    gate = jax.nn.silu(jnp.dot(x, gate_w))
-    up = jnp.dot(x, up_w)
-    return jnp.dot(gate * up, down_w)
+    """LLaMA-family MLP: down(silu(gate(x)) * up(x)); weights stored [in, out].
+
+    Weights may be int8-quantized dicts (``ops/quant.py``) — ``qdot`` dispatches.
+    """
+    from ..ops.quant import qdot
+
+    gate = jax.nn.silu(qdot(x, gate_w))
+    up = qdot(x, up_w)
+    return qdot(gate * up, down_w)
 
 
 def gelu_act(x: jnp.ndarray, kind: str) -> jnp.ndarray:

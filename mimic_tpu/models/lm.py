@@ -40,7 +40,9 @@ def lm_head(params: Params, cfg: TextConfig, hidden: jnp.ndarray) -> jnp.ndarray
         return jnp.einsum(
             "btd,vd->btv", hidden, params["embed"], preferred_element_type=jnp.float32
         )
-    return jnp.dot(hidden, params["lm_head"], preferred_element_type=jnp.float32)
+    from ..ops.quant import qdot
+
+    return qdot(hidden, params["lm_head"], preferred_element_type=jnp.float32)
 
 
 def lm_forward(

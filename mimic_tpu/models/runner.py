@@ -12,6 +12,7 @@ from __future__ import annotations
 
 from typing import Any, Dict, List, Optional
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -48,9 +49,13 @@ class LVLMRunner:
         pad_multiple: int = 128,
         image_size: Optional[int] = None,
         length_buckets: tuple = (),
+        quant: Optional[str] = None,
     ):
         self.cfg = cfg
+        self.decode_params = None
         self.params = params
+        if quant:
+            self.set_quant(quant)
         self.tokenizer = tokenizer
         self.template = template or _FAMILY_TEMPLATE[cfg.family]
         self.processor = LVLMProcessor(cfg, tokenizer, image_size=image_size)
@@ -70,6 +75,42 @@ class LVLMRunner:
         self.shift = shift
         self.adapters = adapters
         self.lora_scaling = lora_scaling
+
+    def set_quant(self, quant: Optional[str]) -> None:
+        """(Re)build the weight-only int8 serving copy from the CURRENT params.
+
+        Call after any weight mutation (checkpoint load, LoRA merge).  Modes:
+
+        - ``"int8"`` — dual-copy serving: prefill keeps the full-precision tree
+          (compute-bound, runs at matmul roofline) while decode steps stream the
+          int8 copy (decode is weight-HBM-bound; measured ~1.3× per decode
+          matmul on the v5e microbench).  Extra HBM ≈ 0.5× the text tower.
+        - ``"int8-memory"`` — single copy: everything (incl. prefill) reads int8
+          weights; halves text-tower HBM at some prefill cost.
+        - ``None`` — drop the int8 copy (bit-parity default).
+
+        Not bit-identical to bf16; opt-in (reference is pure fp16 torch,
+        ``src/config/train.yaml:16`` — quantization is a TPU-native addition).
+        """
+        if quant is None:
+            self.decode_params = None
+            return
+        from ..ops.quant import is_quantized, quantize_lm_params
+
+        already = any(is_quantized(v) for v in jax.tree.leaves(
+            self.params, is_leaf=is_quantized))
+        if quant == "int8":
+            if already:
+                raise ValueError("params already int8-quantized (int8-memory mode)")
+            self.decode_params = quantize_lm_params(self.params)
+        elif quant == "int8-memory":
+            self.decode_params = None
+            if not already:
+                self.params = quantize_lm_params(self.params)
+        else:
+            raise ValueError(
+                f"unknown quant mode {quant!r} (supported: 'int8', 'int8-memory')"
+            )
 
     def apply_prompt_template(self, conversation, add_generation_prompt: bool = False):
         return render_template(conversation, self.template, add_generation_prompt)
@@ -140,6 +181,7 @@ class LVLMRunner:
             logz2=self.logz2,
             # prefill runs the Pallas kernel on TPU (block-aligned via pad_multiple)
             attn_impl="flash" if jax.default_backend() == "tpu" else "xla",
+            decode_params=self.decode_params,
         )
         if do_sample:
             from .generate import sample_generate

@@ -1,0 +1,302 @@
+"""Int8 weight-only quantization with a dequant-fused Pallas matmul.
+
+Autoregressive decode on TPU is bound by streaming the (frozen) weight matrices
+from HBM every step — activations are tiny ([B·beams, D] rows).  Per-channel
+symmetric int8 storage halves those bytes; the Pallas kernel converts each weight
+block to the activation dtype *in VMEM* right before the MXU consumes it, so the
+dequantized copy never exists in HBM.  (XLA's ``convert(int8)→dot`` only fuses
+partially — measured 1.2× in round 1; this kernel is the roadmap's
+"dequant-fused matmul" follow-up.)
+
+Math is exact per block: int8 values (−127..127) are exactly representable in
+bfloat16, accumulation is fp32, and the per-output-channel scale multiplies the
+fp32 accumulator once at the end — identical to ``(x @ dequant(W))`` up to fp32
+summation order.
+
+The reference has no quantization support (pure fp16 torch,
+``src/config/train.yaml:16``); this is a TPU-native serving addition, opt-in via
+``LVLMRunner(quant="int8")`` / ``quantize_lm_params`` so the default path keeps
+bit parity with HF.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+Params = Dict[str, Any]
+
+# weight names quantized inside the decoder layer stack (all [L, K, N] stacked)
+DECODER_MATMUL_KEYS = (
+    "q_proj", "k_proj", "v_proj", "o_proj", "gate_proj", "up_proj", "down_proj",
+)
+
+
+def _round_up(n: int, m: int) -> int:
+    return ((n + m - 1) // m) * m
+
+
+# ---------------------------------------------------------------------------
+# quantization transform
+# ---------------------------------------------------------------------------
+
+
+def quantize_weight(w: jnp.ndarray) -> Params:
+    """[..., K, N] float → {"q8": int8 [..., K, N'], "scale": f32 [..., N]}.
+
+    Per-output-channel symmetric: scale_n = max_k |w[k,n]| / 127.  The stored
+    ``q8`` is zero-padded on N to a lane multiple (128) for the kernel; ``scale``
+    keeps the ORIGINAL N so ``qdot`` knows how much to slice back off.
+    """
+    wf = w.astype(jnp.float32)
+    amax = jnp.max(jnp.abs(wf), axis=-2, keepdims=True)  # [..., 1, N]
+    scale = jnp.where(amax > 0, amax / 127.0, 1.0)
+    q = jnp.clip(jnp.round(wf / scale), -127, 127).astype(jnp.int8)
+    n = w.shape[-1]
+    n_pad = _round_up(n, 128) - n
+    if n_pad:
+        pad = [(0, 0)] * (w.ndim - 1) + [(0, n_pad)]
+        q = jnp.pad(q, pad)
+    return {"q8": q, "scale": scale[..., 0, :]}
+
+
+def is_quantized(w: Any) -> bool:
+    return isinstance(w, dict) and "q8" in w
+
+
+def quantize_lm_params(params: Params) -> Params:
+    """Quantize the text tower's decode-hot matmuls of an LVLM/LM param tree.
+
+    Covers the stacked decoder layer projections, IDEFICS-1 cross-attention
+    layers, and the (untied) lm head.  Embedding table, norms, biases, and the
+    vision tower / connector (prefill-only, run once per query) stay in the
+    original dtype.  Returns a new tree; the input is not mutated.
+    """
+    import copy
+
+    out = copy.copy(params)
+    lm = dict(params["lm"]) if "lm" in params else dict(params)
+    dec = dict(lm["decoder"])
+    for group in ("layers", "cross"):
+        if group not in dec:
+            continue
+        g = dict(dec[group])
+        for name in DECODER_MATMUL_KEYS:
+            if name in g and not is_quantized(g[name]):
+                g[name] = quantize_weight(g[name])
+        dec[group] = g
+    lm["decoder"] = dec
+    if "lm_head" in lm and not is_quantized(lm["lm_head"]):
+        lm["lm_head"] = quantize_weight(lm["lm_head"])
+    if "lm" in params:
+        out["lm"] = lm
+        return out
+    return lm
+
+
+# ---------------------------------------------------------------------------
+# Pallas kernel
+# ---------------------------------------------------------------------------
+
+
+def _kernel(x_ref, w_ref, s_ref, o_ref, acc_ref):
+    """One (m, n) output block; K swept innermost with an fp32 VMEM accumulator.
+
+    The int8 weight block is converted to the activation dtype in VMEM —
+    conversion cost is bk·bn VPU elements per bm·bk·bn MXU MACs (ratio 1/bm).
+    """
+    @pl.when(pl.program_id(2) == 0)
+    def _init():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    x = x_ref[:]
+    w = w_ref[:].astype(x.dtype)
+    acc_ref[:] += jax.lax.dot_general(
+        x, w, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    )
+
+    @pl.when(pl.program_id(2) == pl.num_programs(2) - 1)
+    def _finalize():
+        o_ref[:] = (acc_ref[:] * s_ref[:].astype(jnp.float32)).astype(o_ref.dtype)
+
+
+def _pick_block(n: int, cap: int, floor: int = 8) -> int:
+    for b in (cap, 2048, 1024, 512, 384, 256, 128, 64, 48, 32, 16, 8):
+        if b <= cap and n % b == 0:
+            return b
+    return n
+
+
+@functools.partial(
+    jax.jit, static_argnames=("out_dtype", "block_m", "block_n", "block_k", "interpret")
+)
+def int8_matmul(
+    x: jnp.ndarray,        # [M, K] activations
+    wq: jnp.ndarray,       # [K, N] int8
+    scale: jnp.ndarray,    # [N] fp32 per-output-channel
+    out_dtype=None,
+    block_m: int = 512,
+    block_n: int = 512,
+    block_k: int = 512,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Fused ``(x @ dequant(wq)) * scale`` → [M, N] without an HBM weight copy."""
+    M, K = x.shape
+    N = wq.shape[1]
+    out_dtype = out_dtype or x.dtype
+    bm = _pick_block(M, block_m)
+    bn = _pick_block(N, block_n)
+    bk = _pick_block(K, block_k)
+    grid = (M // bm, N // bn, K // bk)
+    return pl.pallas_call(
+        _kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((bm, bk), lambda m, n, k: (m, k)),
+            pl.BlockSpec((bk, bn), lambda m, n, k: (k, n)),
+            pl.BlockSpec((1, bn), lambda m, n, k: (0, n)),
+        ],
+        out_specs=pl.BlockSpec((bm, bn), lambda m, n, k: (m, n)),
+        out_shape=jax.ShapeDtypeStruct((M, N), out_dtype),
+        scratch_shapes=[pltpu.VMEM((bm, bn), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary")
+        ),
+        interpret=interpret,
+    )(x, wq, scale[None, :])
+
+
+def _kernel_stacked(l_ref, x_ref, w_ref, s_ref, o_ref, acc_ref):
+    """Like ``_kernel`` but the weight/scale blocks come from a stacked [L,...]
+    array at the prefetched layer index — no slice materialization in HBM."""
+    @pl.when(pl.program_id(2) == 0)
+    def _init():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    x = x_ref[:]
+    w = w_ref[0].astype(x.dtype)
+    acc_ref[:] += jax.lax.dot_general(
+        x, w, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    )
+
+    @pl.when(pl.program_id(2) == pl.num_programs(2) - 1)
+    def _finalize():
+        o_ref[:] = (acc_ref[:] * s_ref[0].astype(jnp.float32)).astype(o_ref.dtype)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("out_dtype", "block_m", "block_n", "block_k", "interpret")
+)
+def int8_matmul_stacked(
+    x: jnp.ndarray,        # [M, K]
+    wq: jnp.ndarray,       # [L, K, N] int8 (stacked layers)
+    scale: jnp.ndarray,    # [L, N] fp32
+    layer: jnp.ndarray,    # scalar int32 layer index
+    out_dtype=None,
+    block_m: int = 512,
+    block_n: int = 1024,   # best measured on v5e for decode-row shapes
+    block_k: int = 512,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """``(x @ dequant(wq[layer])) * scale[layer]`` reading blocks straight out of
+    the stacked array (scalar-prefetch index) — inside a layer ``scan`` this
+    avoids the HBM round trip XLA inserts when a dynamic slice feeds an opaque
+    kernel call."""
+    M, K = x.shape
+    L, _, N = wq.shape
+    out_dtype = out_dtype or x.dtype
+    bm = _pick_block(M, block_m)
+    bn = _pick_block(N, block_n)
+    bk = _pick_block(K, block_k)
+    grid = (M // bm, N // bn, K // bk)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=grid,
+        in_specs=[
+            # index maps receive (*grid_indices, *scalar_prefetch_refs)
+            pl.BlockSpec((bm, bk), lambda m, n, k, l: (m, k)),
+            pl.BlockSpec((1, bk, bn), lambda m, n, k, l: (l[0], k, n)),
+            pl.BlockSpec((1, 1, bn), lambda m, n, k, l: (l[0], 0, n)),
+        ],
+        out_specs=pl.BlockSpec((bm, bn), lambda m, n, k, l: (m, n)),
+        scratch_shapes=[pltpu.VMEM((bm, bn), jnp.float32)],
+    )
+    return pl.pallas_call(
+        _kernel_stacked,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((M, N), out_dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary")
+        ),
+        interpret=interpret,
+    )(jnp.atleast_1d(layer).astype(jnp.int32), x, wq, scale[:, None, :])
+
+
+def qdot(
+    x: jnp.ndarray,
+    w: Any,
+    preferred_element_type=None,
+) -> jnp.ndarray:
+    """``jnp.dot`` that also accepts a quantized weight dict.
+
+    For plain arrays this is exactly ``jnp.dot(x, w)``.  For quantized weights it
+    runs the dequant-fused kernel on TPU (jnp fallback elsewhere) and slices the
+    lane padding back off.  ``x`` may have any leading shape ([..., K]).
+    """
+    if not is_quantized(w):
+        if preferred_element_type is not None:
+            return jnp.dot(x, w, preferred_element_type=preferred_element_type)
+        return jnp.dot(x, w)
+
+    wq, scale = w["q8"], w["scale"]
+    layer = w.get("layer")  # stacked handle: wq [L,K,N], scale [L,N], layer scalar
+    n = scale.shape[-1]
+    n_stored = wq.shape[-1]
+    lead = x.shape[:-1]
+    K = x.shape[-1]
+    out_dtype = preferred_element_type or x.dtype
+
+    xm = x.reshape(-1, K)
+    M = xm.shape[0]
+    if jax.default_backend() == "tpu" and M >= 256:
+        # compute-bound shapes (prefill in single-copy int8 mode): one XLA
+        # dequant materialization + full-speed dot beats the streaming kernel,
+        # whose weight blocks are re-fetched M/bm times
+        wl = wq if layer is None else jnp.take(wq, layer, axis=0)
+        sl = scale if layer is None else jnp.take(scale, layer, axis=0)
+        deq = (wl[:, :n].astype(jnp.float32) * sl.astype(jnp.float32)[None, :]).astype(
+            x.dtype
+        )
+        return jnp.dot(xm, deq, preferred_element_type=out_dtype).astype(
+            out_dtype
+        ).reshape(*lead, n)
+    if jax.default_backend() == "tpu":
+        # sublane alignment: pad tiny/ragged M (decode rows) up to a 16-multiple
+        m_pad = _round_up(max(M, 16), 16) - M
+        if m_pad:
+            xm = jnp.pad(xm, ((0, m_pad), (0, 0)))
+        if n != n_stored:
+            pad = [(0, 0)] * (scale.ndim - 1) + [(0, n_stored - n)]
+            scale = jnp.pad(scale, pad)
+        if layer is not None:
+            out = int8_matmul_stacked(
+                xm, wq, scale.astype(jnp.float32), layer, out_dtype=out_dtype
+            )
+        else:
+            out = int8_matmul(xm, wq, scale.astype(jnp.float32), out_dtype=out_dtype)
+        if m_pad:
+            out = out[:M]
+        if n != n_stored:
+            out = out[:, :n]
+    else:
+        if layer is not None:
+            wq = jnp.take(wq, layer, axis=0)
+            scale = jnp.take(scale, layer, axis=0)
+        deq = wq[:, :n].astype(jnp.float32) * scale.astype(jnp.float32)[None, :]
+        out = jnp.dot(xm.astype(jnp.float32), deq).astype(out_dtype)
+    return out.reshape(*lead, n)

@@ -53,6 +53,9 @@ def _eval(overrides: List[str]) -> None:
     runner = build_model(cfg.model_name, cfg.data.name)
     if not cfg.is_icl:
         _load_ckpt_into_runner(cfg, runner)
+    if cfg.quant:
+        # after ckpt load / LoRA merge so the int8 copy reflects final weights
+        runner.set_quant(cfg.quant)
     run_eval(cfg, runner)
 
 
