@@ -151,9 +151,17 @@ def _project_qkv(
 
     B, T, _ = x.shape
     H, Hkv, Dh = cfg.num_heads, cfg.num_kv_heads, cfg.head_size
-    q = qdot(x, lp["q_proj"])
-    k = qdot(x, lp["k_proj"])
-    v = qdot(x, lp["v_proj"])
+    if "qkv_proj" in lp:
+        # int8 serving copy fuses q/k/v into one kernel call (decode matmuls are
+        # per-call-overhead bound at small transfer sizes; see ops/quant.py)
+        qkv = qdot(x, lp["qkv_proj"])
+        q = qkv[..., : H * Dh]
+        k = qkv[..., H * Dh : (H + Hkv) * Dh]
+        v = qkv[..., (H + Hkv) * Dh :]
+    else:
+        q = qdot(x, lp["q_proj"])
+        k = qdot(x, lp["k_proj"])
+        v = qdot(x, lp["v_proj"])
     if "q_bias" in lp:
         q = q + lp["q_bias"]
         k = k + lp["k_bias"]
@@ -406,7 +414,14 @@ def decoder_forward(
         h = residual + attn_out
         residual = h
         hn = rms_norm(h, lp["post_ln"], cfg.norm_eps)
-        ffn_out = swiglu_mlp(hn, lp["gate_proj"], lp["up_proj"], lp["down_proj"])
+        if "gateup_proj" in lp:
+            from ..ops.quant import qdot
+
+            gu = qdot(hn, lp["gateup_proj"])
+            F = gu.shape[-1] // 2
+            ffn_out = qdot(jax.nn.silu(gu[..., :F]) * gu[..., F:], lp["down_proj"])
+        else:
+            ffn_out = swiglu_mlp(hn, lp["gate_proj"], lp["up_proj"], lp["down_proj"])
         ffn_out = apply_output_shift(ffn_out, os_.get("ffn_shift"), os_.get("ffn_scale"))
         if pf is not None:
             ffn_out = ffn_out + pf.astype(ffn_out.dtype)

@@ -69,13 +69,21 @@ def is_quantized(w: Any) -> bool:
     return isinstance(w, dict) and "q8" in w
 
 
-def quantize_lm_params(params: Params) -> Params:
+def quantize_lm_params(params: Params, fuse: bool = True) -> Params:
     """Quantize the text tower's decode-hot matmuls of an LVLM/LM param tree.
 
     Covers the stacked decoder layer projections, IDEFICS-1 cross-attention
     layers, and the (untied) lm head.  Embedding table, norms, biases, and the
     vision tower / connector (prefill-only, run once per query) stay in the
     original dtype.  Returns a new tree; the input is not mutated.
+
+    ``fuse=True`` (default) additionally concatenates the self-attn q/k/v
+    projections into one ``qkv_proj`` [L, D, D+2·Dkv] and gate/up into one
+    ``gateup_proj`` [L, D, 2F] before quantizing: decode matmuls are bound by
+    per-kernel-call overhead at small transfer sizes (measured on v5e: 150-180
+    GB/s for separate 2-4 MB calls vs 280-360 GB/s fused), and per-output-channel
+    scales make fusion exact.  Cross-attention layers stay unfused (q reads the
+    text stream, k/v the image stream — different inputs).
     """
     import copy
 
@@ -86,6 +94,15 @@ def quantize_lm_params(params: Params) -> Params:
         if group not in dec:
             continue
         g = dict(dec[group])
+        if fuse and group == "layers":
+            if "q_proj" in g and not is_quantized(g["q_proj"]):
+                g["qkv_proj"] = quantize_weight(
+                    jnp.concatenate([g.pop("q_proj"), g.pop("k_proj"), g.pop("v_proj")], axis=-1)
+                )
+            if "gate_proj" in g and not is_quantized(g["gate_proj"]):
+                g["gateup_proj"] = quantize_weight(
+                    jnp.concatenate([g.pop("gate_proj"), g.pop("up_proj")], axis=-1)
+                )
         for name in DECODER_MATMUL_KEYS:
             if name in g and not is_quantized(g[name]):
                 g[name] = quantize_weight(g[name])
@@ -283,12 +300,20 @@ def qdot(
         if n != n_stored:
             pad = [(0, 0)] * (scale.ndim - 1) + [(0, n_stored - n)]
             scale = jnp.pad(scale, pad)
+        # measured on v5e (scripts/bench_quant_matmul.py sweep): wide blocks win;
+        # big-N fused matmuls (gateup) additionally want the whole K per block
+        bn = 2048
+        bk = 2048 if n_stored >= 8192 else 512
         if layer is not None:
             out = int8_matmul_stacked(
-                xm, wq, scale.astype(jnp.float32), layer, out_dtype=out_dtype
+                xm, wq, scale.astype(jnp.float32), layer, out_dtype=out_dtype,
+                block_n=bn, block_k=bk,
             )
         else:
-            out = int8_matmul(xm, wq, scale.astype(jnp.float32), out_dtype=out_dtype)
+            out = int8_matmul(
+                xm, wq, scale.astype(jnp.float32), out_dtype=out_dtype,
+                block_n=bn, block_k=bk,
+            )
         if m_pad:
             out = out[:M]
         if n != n_stored:

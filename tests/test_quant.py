@@ -132,13 +132,27 @@ class TestQuantizeLMParams:
         cfg, params, _ = self._tiny()
         qp = quantize_lm_params(params)
         layers = qp["lm"]["decoder"]["layers"]
-        assert is_quantized(layers["q_proj"]) and is_quantized(layers["down_proj"])
+        # fused serving layout: q/k/v → qkv_proj, gate/up → gateup_proj
+        assert is_quantized(layers["qkv_proj"]) and is_quantized(layers["gateup_proj"])
+        assert is_quantized(layers["o_proj"]) and is_quantized(layers["down_proj"])
+        assert "q_proj" not in layers and "gate_proj" not in layers
+        t = cfg.text
+        assert layers["qkv_proj"]["scale"].shape[-1] == (
+            t.num_heads + 2 * t.num_kv_heads
+        ) * t.head_size
         assert not is_quantized(layers["input_ln"])
         # vision untouched, original tree unmodified
         assert not is_quantized(params["lm"]["decoder"]["layers"]["q_proj"])
         assert qp["vision"] is params["vision"]
         if "lm_head" in qp["lm"]:
             assert is_quantized(qp["lm"]["lm_head"])
+
+    def test_transform_structure_unfused(self):
+        cfg, params, _ = self._tiny()
+        qp = quantize_lm_params(params, fuse=False)
+        layers = qp["lm"]["decoder"]["layers"]
+        assert is_quantized(layers["q_proj"]) and is_quantized(layers["down_proj"])
+        assert "qkv_proj" not in layers and "gateup_proj" not in layers
 
     def test_forward_matches_dequantized_model(self):
         from mimic_tpu.models.lvlm import LVLMBatch, lvlm_forward
@@ -257,14 +271,14 @@ class TestRunnerQuantModes:
         r = self._runner(quant="int8")
         assert r.decode_params is not None
         layers = r.decode_params["lm"]["decoder"]["layers"]
-        assert is_quantized(layers["q_proj"])
+        assert is_quantized(layers["qkv_proj"])
         # serving copy, main tree untouched
         assert not is_quantized(r.params["lm"]["decoder"]["layers"]["q_proj"])
 
     def test_memory_mode_and_reset(self):
         r = self._runner(quant="int8-memory")
         assert r.decode_params is None
-        assert is_quantized(r.params["lm"]["decoder"]["layers"]["q_proj"])
+        assert is_quantized(r.params["lm"]["decoder"]["layers"]["qkv_proj"])
         # idempotent re-apply
         r.set_quant("int8-memory")
         # dual-copy on an already-quantized tree is an error
