@@ -91,11 +91,14 @@ def _kernel(
 
     @pl.when(compute_pred)
     def _compute():
-        q = q_ref[0, 0].astype(jnp.float32) * scale
-        k_blk = k_ref[0, 0].astype(jnp.float32)
+        # matmuls run in the INPUT dtype with fp32 accumulation (bf16 on the
+        # MXU is ~8× an fp32 matmul; matches the XLA path's sdpa_with_lse
+        # numerics: einsum(..., preferred_element_type=f32) then scale)
+        q = q_ref[0, 0]
+        k_blk = k_ref[0, 0]
         s = jax.lax.dot_general(
             q, k_blk, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-        )  # [bq, bk]
+        ) * scale  # [bq, bk]
 
         if need_unmasked:
             # unmasked running pair (log Z₂ parity: no masks)
@@ -119,9 +122,10 @@ def _kernel(
             p = jnp.exp(masked - m_new[:, None])
             alpha = jnp.exp(m - m_new)
             l_scr[:, 0] = l_scr[:, 0] * alpha + jnp.sum(p, axis=-1)
-            v_blk = v_ref[0, 0].astype(jnp.float32)
+            v_blk = v_ref[0, 0]
             acc_scr[:] = acc_scr[:] * alpha[:, None] + jax.lax.dot_general(
-                p, v_blk, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+                p.astype(v_blk.dtype), v_blk, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
             )
             m_scr[:, 0] = m_new
 

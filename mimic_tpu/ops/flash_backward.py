@@ -90,14 +90,14 @@ def _dq_kernel(
     @pl.when(needed)
     def _compute():
         ds, _ = _recompute_ds(
-            q_ref[0, 0].astype(jnp.float32) , k_ref[0, 0].astype(jnp.float32),
-            v_ref[0, 0].astype(jnp.float32), g_out_ref[0, 0].astype(jnp.float32),
+            q_ref[0, 0], k_ref[0, 0],
+            v_ref[0, 0], g_out_ref[0, 0],
             lse_ref[0, 0][:, 0], lse_u_ref[0, 0][:, 0], delta_ref[0, 0][:, 0],
             g_lse_ref[0, 0][:, 0], g_lse_u_ref[0, 0][:, 0],
             kmask_ref[0, 0, :] > 0, q_start, ks, scale, causal, need_unmasked,
         )
         acc_scr[:] += jax.lax.dot_general(
-            ds, k_ref[0, 0].astype(jnp.float32), (((1,), (0,)), ((), ())),
+            ds.astype(k_ref.dtype), k_ref[0, 0], (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         )
 
@@ -129,20 +129,21 @@ def _dkv_kernel(
 
     @pl.when(needed)
     def _compute():
-        g_out = g_out_ref[0, 0].astype(jnp.float32)
+        g_out = g_out_ref[0, 0]
         ds, p = _recompute_ds(
-            q_ref[0, 0].astype(jnp.float32), k_ref[0, 0].astype(jnp.float32),
-            v_ref[0, 0].astype(jnp.float32), g_out,
+            q_ref[0, 0], k_ref[0, 0],
+            v_ref[0, 0], g_out,
             lse_ref[0, 0][:, 0], lse_u_ref[0, 0][:, 0], delta_ref[0, 0][:, 0],
             g_lse_ref[0, 0][:, 0], g_lse_u_ref[0, 0][:, 0],
             kmask_ref[0, 0, :] > 0, q_start, ks, scale, causal, need_unmasked,
         )
         dk_scr[:] += jax.lax.dot_general(
-            ds, q_ref[0, 0].astype(jnp.float32), (((0,), (0,)), ((), ())),
+            ds.astype(q_ref.dtype), q_ref[0, 0], (((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         )
         dv_scr[:] += jax.lax.dot_general(
-            p, g_out, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+            p.astype(g_out.dtype), g_out, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
         )
 
     @pl.when(jq == n_q - 1)
