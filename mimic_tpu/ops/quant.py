@@ -52,21 +52,54 @@ def quantize_weight(w: jnp.ndarray) -> Params:
     Per-output-channel symmetric: scale_n = max_k |w[k,n]| / 127.  The stored
     ``q8`` is zero-padded on N to a lane multiple (128) for the kernel; ``scale``
     keeps the ORIGINAL N so ``qdot`` knows how much to slice back off.
+
+    Stacked weights ([L, K, N]) quantize layer-by-layer via ``lax.map`` so the
+    fp32 intermediate is one layer, not the whole stack — an 8B model's gate/up
+    stack would otherwise need a 7.5 GB fp32 transient, which matters when
+    quantizing on-device (16 GB HBM).
     """
-    wf = w.astype(jnp.float32)
-    amax = jnp.max(jnp.abs(wf), axis=-2, keepdims=True)  # [..., 1, N]
-    scale = jnp.where(amax > 0, amax / 127.0, 1.0)
-    q = jnp.clip(jnp.round(wf / scale), -127, 127).astype(jnp.int8)
-    n = w.shape[-1]
-    n_pad = _round_up(n, 128) - n
-    if n_pad:
-        pad = [(0, 0)] * (w.ndim - 1) + [(0, n_pad)]
-        q = jnp.pad(q, pad)
-    return {"q8": q, "scale": scale[..., 0, :]}
+    def one(w2):
+        wf = w2.astype(jnp.float32)
+        amax = jnp.max(jnp.abs(wf), axis=-2, keepdims=True)  # [..., 1, N]
+        scale = jnp.where(amax > 0, amax / 127.0, 1.0)
+        q = jnp.clip(jnp.round(wf / scale), -127, 127).astype(jnp.int8)
+        n = w2.shape[-1]
+        n_pad = _round_up(n, 128) - n
+        if n_pad:
+            pad = [(0, 0)] * (w2.ndim - 1) + [(0, n_pad)]
+            q = jnp.pad(q, pad)
+        return q, scale[..., 0, :]
+
+    if w.ndim >= 3:
+        lead = w.shape[:-2]
+        flat = w.reshape((-1,) + w.shape[-2:])
+        q, scale = jax.lax.map(one, flat)
+        q = q.reshape(lead + q.shape[1:])
+        scale = scale.reshape(lead + scale.shape[1:])
+    else:
+        q, scale = one(w)
+    return {"q8": q, "scale": scale}
 
 
 def is_quantized(w: Any) -> bool:
     return isinstance(w, dict) and "q8" in w
+
+
+def concat_quantized(parts) -> Params:
+    """Fuse already-quantized weights along N (``quantize(concat) ==
+    concat(quantize)`` because scales are per output column).  Only valid when
+    no part carried lane padding (every N already a 128-multiple) — otherwise
+    the fused column layout would include interior pad columns."""
+    for p in parts:
+        if p["q8"].shape[-1] != p["scale"].shape[-1]:
+            raise ValueError(
+                "concat_quantized needs unpadded parts (N a 128-multiple); "
+                f"got stored N {p['q8'].shape[-1]} vs scale N {p['scale'].shape[-1]}"
+            )
+    return {
+        "q8": jnp.concatenate([p["q8"] for p in parts], axis=-1),
+        "scale": jnp.concatenate([p["scale"] for p in parts], axis=-1),
+    }
 
 
 def quantize_lm_params(params: Params, fuse: bool = True) -> Params:
