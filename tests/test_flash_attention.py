@@ -93,3 +93,29 @@ def test_vit_flash_path_matches_xla():
     np.testing.assert_allclose(np.asarray(out[0]), np.asarray(ref[0]), atol=2e-5)
     np.testing.assert_allclose(
         np.asarray(out[1, :2]), np.asarray(ref[1, :2]), atol=2e-5)
+
+
+def test_vit_large_patch_count_padding():
+    """Patch counts >= 2048 pad to a 1024-multiple for the Pallas path (on CPU
+    the attention still runs through the XLA branch, exercising the padded mask
+    and the final slice)."""
+    import mimic_tpu.models.vision as V
+    from mimic_tpu.models.config import VisionConfig
+
+    # 50x50 patch grid -> 2500 patches (>= 2048 threshold), pads to 3072
+    cfg = VisionConfig(hidden_size=32, num_layers=1, num_heads=2, intermediate_size=64,
+                       image_size=100, patch_size=2, use_class_token=False)
+    params = V.init_vit_params(cfg, jax.random.PRNGKey(0))
+    px = jax.random.normal(jax.random.PRNGKey(1), (1, 100, 100, 3))
+
+    ref = V.vit_forward(params, cfg, px)                       # unpadded einsum path
+    out = V.vit_forward(params, cfg, px, attn_impl="flash")    # padded path
+    assert out.shape == ref.shape == (1, 2500, 32)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=3e-5)
+
+    # variable-aspect: bottom half of the grid masked out
+    pm = jnp.ones((1, 50, 50), jnp.int32).at[0, 25:, :].set(0)
+    ref = V.vit_forward(params, cfg, px, patch_mask=pm)
+    out = V.vit_forward(params, cfg, px, patch_mask=pm, attn_impl="flash")
+    np.testing.assert_allclose(
+        np.asarray(out[0, :1250]), np.asarray(ref[0, :1250]), atol=3e-5)
