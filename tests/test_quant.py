@@ -311,3 +311,17 @@ class TestRunnerQuantModes:
         assert cfg.quant is None
         apply_overrides(cfg, ["quant=int8"])
         assert cfg.quant == "int8"
+
+
+def test_idefics1_cross_attention_quant_generate():
+    # cross-attention layers quantize unfused (q reads text, k/v read image
+    # states) and the full generate path runs on the quantized tree
+    from mimic_tpu.models.factory import build_model
+
+    r = build_model("tiny-idefics1", quant="int8-memory")
+    cross = r.params["lm"]["decoder"]["cross"]
+    assert is_quantized(cross["q_proj"]) and "qkv_proj" not in cross
+    img = np.zeros((64, 64, 3), np.uint8)
+    conv = [{"role": "user", "content": [{"type": "image"}, {"type": "text", "text": "hi"}]}]
+    out = r.generate([[img]], [conv], num_beams=2, max_new_tokens=3)
+    assert len(out) == 1
