@@ -242,6 +242,12 @@ def tiny_text(family: str = "idefics2", **kw) -> ModelConfig:
     elif family == "llava-interleave":
         base.update(attn_bias=True)
     base.update(kw)
+    if family == "text":
+        # text-only tower (reference mistral/qwen2 testbed wrapper surface)
+        return ModelConfig(
+            name="tiny-text", family="text", text=TextConfig(**base),
+            image_token_id=250, pad_token_id=0, bos_token_id=1, eos_token_id=2,
+        )
     vision = VisionConfig(
         hidden_size=32,
         num_layers=2,

@@ -233,6 +233,7 @@ def _self_attention(
         attn, lse, lse_u = cached_attention(
             q, k, v, cache_k, cache_v, cache_len, gen_key_mask, key_mask_new,
             prompt_k=prompt_k, prompt_v=prompt_v, prompt_mask=prompt_mask,
+            window=cfg.sliding_window,
         )
         if ls:
             log_z2 = lse if logz2 == "masked" else lse_u
@@ -384,6 +385,10 @@ def decoder_forward(
         and key_mask is not None
         and T % 128 == 0
         and cfg.head_size % 128 == 0
+        # the flash kernel masks causal + key padding only; a sliding window
+        # narrower than the block is irrelevant when T <= window (causality
+        # already bounds the lookback), otherwise fall back to XLA
+        and (cfg.sliding_window is None or T <= cfg.sliding_window)
     )
 
     use_dropout = (
@@ -615,10 +620,21 @@ def decoder_forward(
 # ---------------------------------------------------------------------------
 
 
-def make_causal_mask(attention_mask: jnp.ndarray) -> jnp.ndarray:
-    """[B,T] padding mask → [B,1,T,T] causal+padding boolean mask (True=attend)."""
+def make_causal_mask(
+    attention_mask: jnp.ndarray, sliding_window: Optional[int] = None
+) -> jnp.ndarray:
+    """[B,T] padding mask → [B,1,T,T] causal+padding boolean mask (True=attend).
+
+    ``sliding_window``: Mistral-style local attention — query at slot t attends
+    only to keys at slots s with ``t - s < window`` (HF semantics: the window
+    is counted on padded-sequence slot indices, reference
+    ``src/shift_encoder.py:514-523`` passes ``sliding_window`` to SDPA).
+    """
     B, T = attention_mask.shape
     causal = jnp.tril(jnp.ones((T, T), bool))
+    if sliding_window is not None:
+        idx = jnp.arange(T)
+        causal = causal & ((idx[:, None] - idx[None, :]) < sliding_window)
     key_ok = attention_mask[:, None, None, :].astype(bool)
     return causal[None, None] & key_ok
 

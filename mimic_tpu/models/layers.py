@@ -122,6 +122,7 @@ def cached_attention(
     prompt_k: Optional[jnp.ndarray] = None,  # [B0,Sp,Hkv,D] beam-shared prompt
     prompt_v: Optional[jnp.ndarray] = None,
     prompt_mask: Optional[jnp.ndarray] = None,  # [B0,Sp]
+    window: Optional[int] = None,  # sliding-window size (Mistral), slot-indexed
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Two-part attention for autoregressive decode/prefill with a KV cache.
 
@@ -178,6 +179,19 @@ def cached_attention(
     cache_mask = written & key_mask[:, None, None, None, :].astype(bool)
     causal = jnp.tril(jnp.ones((T, T), bool))[None, None, None]
     new_mask = causal & key_mask_new[:, None, None, None, :].astype(bool)
+    if window is not None:
+        # sliding window on timeline slot indices (HF Mistral semantics: query
+        # at timeline position p attends keys at positions p' with p-p' < W).
+        # Current-block query t sits at timeline position cache_len + t; a
+        # gen-region cache slot s sits at prompt_len + s; a prompt slot at s.
+        t_idx = jnp.arange(T)
+        prompt_off = prompt_k.shape[1] if prompt_k is not None else 0
+        q_pos = cache_len + t_idx  # [T]
+        gen_pos = prompt_off + jnp.arange(S)  # [S]
+        win_cache = (q_pos[:, None] - gen_pos[None, :]) < window  # [T,S]
+        cache_mask = cache_mask & win_cache[None, None, None]
+        win_new = (t_idx[:, None] - t_idx[None, :]) < window
+        new_mask = new_mask & win_new[None, None, None]
 
     masked_cache = jnp.where(cache_mask, s_cache, NEG_INF)
     masked_new = jnp.where(new_mask, s_new, NEG_INF)
@@ -189,7 +203,13 @@ def cached_attention(
         ).reshape(B, Hkv, G, T, Sp)
         s_prompt_b = unfold(s_prompt)
         pm = jnp.repeat(prompt_mask.astype(bool), Kb, axis=0)  # [B,Sp]
-        parts.insert(0, jnp.where(pm[:, None, None, None, :], s_prompt_b, NEG_INF))
+        pmask = pm[:, None, None, None, :]
+        if window is not None:
+            win_prompt = (
+                (cache_len + jnp.arange(T))[:, None] - jnp.arange(Sp)[None, :]
+            ) < window  # [T,Sp]
+            pmask = pmask & win_prompt[None, None, None]
+        parts.insert(0, jnp.where(pmask, s_prompt_b, NEG_INF))
         u_parts.insert(0, s_prompt_b)  # prompt slots are all written
 
     all_scores = jnp.concatenate(parts, axis=-1)

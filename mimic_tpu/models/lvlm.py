@@ -173,7 +173,7 @@ def lvlm_forward(
         if cache_empty:
             # prefill: attention only covers the current block (flash-eligible);
             # the decoder appends k/v into the empty cache afterwards
-            mask4 = make_causal_mask(batch.attention_mask)
+            mask4 = make_causal_mask(batch.attention_mask, cfg.text.sliding_window)
             decoder_kwargs.setdefault("key_mask", batch.attention_mask)
             decoder_kwargs.setdefault("cache_empty", True)
         else:
@@ -190,7 +190,7 @@ def lvlm_forward(
             decoder_kwargs.setdefault("key_mask", key_mask2d)
             mask4 = None
     else:
-        mask4 = make_causal_mask(batch.attention_mask)
+        mask4 = make_causal_mask(batch.attention_mask, cfg.text.sliding_window)
         # flash-eligible: mask is exactly causal + key padding
         decoder_kwargs.setdefault("key_mask", batch.attention_mask)
 

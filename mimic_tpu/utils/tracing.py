@@ -119,7 +119,7 @@ def attention_probs(
     k = repeat_kv(k, text.num_groups)
     scores = jnp.einsum("bthd,bshd->bhts", q, k, preferred_element_type=jnp.float32)
     scores = scores / (Dh**0.5)
-    mask = make_causal_mask(batch.attention_mask)
+    mask = make_causal_mask(batch.attention_mask, text.sliding_window)
     scores = jnp.where(mask, scores, -1e30)
     return jax.nn.softmax(scores, axis=-1)
 

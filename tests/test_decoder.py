@@ -190,3 +190,77 @@ class TestPositions:
         np.testing.assert_array_equal(
             positions_from_mask(mask)[0], jnp.array([0, 0, 0, 1, 2])
         )
+
+
+class TestSlidingWindow:
+    """Mistral-style sliding-window attention (reference
+    src/shift_encoder.py:514-523 passes config.sliding_window to SDPA)."""
+
+    def _cfg(self, window, num_layers=1):
+        base = get_model_config("tiny-idefics2").text
+        return base.__class__(
+            **{**base.__dict__, "sliding_window": window, "num_layers": num_layers}
+        )
+
+    def test_noop_when_window_covers_context(self, tiny):
+        cfg, _ = tiny
+        cfgw = cfg.__class__(**{**cfg.__dict__, "sliding_window": 64})
+        params = init_lm_params(cfg, jax.random.PRNGKey(0))
+        ids = jnp.arange(5, 15)[None]
+        mask = jnp.ones((1, 10), jnp.int32)
+        a = lm_forward(params, cfg, ids, attn_mask=make_causal_mask(mask)).logits
+        b = lm_forward(
+            params, cfgw, ids,
+            attn_mask=make_causal_mask(mask, cfgw.sliding_window),
+        ).logits
+        np.testing.assert_allclose(a, b, rtol=1e-5, atol=1e-5)
+
+    def test_out_of_window_token_is_invisible(self):
+        """Single layer, window W: logits at position t must not depend on
+        tokens at positions <= t-W (the layer receptive field is exactly W)."""
+        cfg = self._cfg(window=3, num_layers=1)
+        params = init_lm_params(cfg, jax.random.PRNGKey(1))
+        ids = jnp.array([[5, 6, 7, 8, 9, 10]])
+        mask = jnp.ones((1, 6), jnp.int32)
+        m4 = make_causal_mask(mask, cfg.sliding_window)
+        a = lm_forward(params, cfg, ids, attn_mask=m4).logits
+        # position 5 sees slots {3,4,5} only; changing slot 0 must not matter
+        b = lm_forward(params, cfg, ids.at[0, 0].set(99), attn_mask=m4).logits
+        np.testing.assert_allclose(a[0, 5], b[0, 5], rtol=1e-5, atol=1e-5)
+        # ... but changing slot 4 (inside the window) must
+        c = lm_forward(params, cfg, ids.at[0, 4].set(99), attn_mask=m4).logits
+        assert not np.allclose(a[0, 5], c[0, 5], atol=1e-6)
+
+    def test_incremental_matches_full_with_window(self):
+        """Cached prefill+decode must reproduce the no-cache windowed forward
+        (exercises the timeline-position window mask in cached_attention)."""
+        cfg = self._cfg(window=3, num_layers=2)
+        params = init_lm_params(cfg, jax.random.PRNGKey(2))
+        ids = jnp.array([[5, 6, 7, 8, 9, 10, 11, 12]])
+        T = ids.shape[1]
+        mask = jnp.ones((1, T), jnp.int32)
+        full = lm_forward(
+            params, cfg, ids, attn_mask=make_causal_mask(mask, cfg.sliding_window)
+        ).logits
+
+        cache = init_kv_cache(cfg, 1, T)
+        prefill_mask = make_causal_mask(mask[:, :4], cfg.sliding_window)
+        pad = jnp.zeros((1, 1, 4, T - 4), bool)
+        out = lm_forward(
+            params, cfg, ids[:, :4],
+            attn_mask=jnp.concatenate([prefill_mask, pad], axis=-1),
+            kv_cache=cache,
+        )
+        cache = out.decoder.kv_cache
+        np.testing.assert_allclose(out.logits, full[:, :4], rtol=2e-5, atol=2e-5)
+        for t in range(4, T):
+            out = lm_forward(
+                params, cfg, ids[:, t : t + 1],
+                attn_mask=make_decode_mask(mask[:, : t + 1], T),
+                position_ids=jnp.array([[t]]),
+                kv_cache=cache,
+            )
+            cache = out.decoder.kv_cache
+            np.testing.assert_allclose(
+                out.logits[:, 0], full[:, t], rtol=2e-5, atol=2e-5
+            )

@@ -603,3 +603,51 @@ class TestTextOnlyParity:
             image_token_id=-1, pad_token_id=0,
         )
         self._check(model, cfg)
+
+
+class TestSlidingWindowParity:
+    """Mistral sliding-window attention vs HF (reference llava/mistral paths
+    pass config.sliding_window into SDPA, src/shift_encoder.py:514-523)."""
+
+    def test_mistral_sliding_window_logits_match_hf(self):
+        torch.manual_seed(0)
+        from transformers.models.mistral import MistralConfig, MistralForCausalLM
+
+        from mimic_tpu.models.convert import convert_text
+
+        W, B, T = 4, 2, 12
+        mk = lambda window: MistralForCausalLM(MistralConfig(
+            vocab_size=128, hidden_size=64, intermediate_size=128,
+            num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=2,
+            rms_norm_eps=1e-5, attn_implementation="eager",
+            tie_word_embeddings=False, sliding_window=window,
+        )).eval().float()
+        torch.manual_seed(0)
+        model = mk(W)
+        torch.manual_seed(0)
+        model_nw = mk(None)  # same weights, no window — oracle sanity check
+
+        rng = np.random.default_rng(7)
+        ids = rng.integers(1, 120, size=(B, T)).astype(np.int64)
+        attn = np.ones((B, T), np.int64)
+        with torch.no_grad():
+            hf = model(
+                input_ids=torch.tensor(ids), attention_mask=torch.tensor(attn)
+            ).logits.numpy()
+            hf_nw = model_nw(
+                input_ids=torch.tensor(ids), attention_mask=torch.tensor(attn)
+            ).logits.numpy()
+        # the window must actually bite at T > W, else this test proves nothing
+        assert not np.allclose(hf, hf_nw, atol=1e-5)
+
+        cfg = ModelConfig(
+            name="p", family="text",
+            text=TextConfig(vocab_size=128, hidden_size=64, num_layers=2,
+                            num_heads=4, num_kv_heads=2, intermediate_size=128,
+                            norm_eps=1e-5, sliding_window=W),
+            image_token_id=-1, pad_token_id=0,
+        )
+        sd = {k: v.numpy() for k, v in model.state_dict().items()}
+        params = convert_text(sd, cfg)
+        ours = run_ours(cfg, params, ids, attn)
+        np.testing.assert_allclose(ours, hf, rtol=TOL, atol=TOL)
