@@ -205,6 +205,7 @@ def _self_attention(
     prompt_k: Optional[jnp.ndarray] = None,
     prompt_v: Optional[jnp.ndarray] = None,
     prompt_mask: Optional[jnp.ndarray] = None,
+    ring: Optional[Tuple[Any, str, Optional[str]]] = None,  # (mesh, seq_axis, batch_axis)
 ) -> Tuple[jnp.ndarray, Optional[jnp.ndarray], Optional[jnp.ndarray]]:
     """Returns (attn block output [B,T,D], new_k_block, new_v_block).
 
@@ -252,7 +253,23 @@ def _self_attention(
 
     k_all, v_all = k, v
 
-    if use_flash:
+    if ring is not None:
+        # sequence-parallel exact attention: Q stays local, K/V blocks rotate
+        # around the mesh axis via ppermute (ICI); same (out, lse, lse_u)
+        # contract as the flash kernel — the MimIC μ-gate works under SP
+        from ..ops.ring_attention import ring_attention_sharded
+
+        mesh_, seq_axis, batch_axis = ring
+        attn, lse, lse_u = ring_attention_sharded(
+            mesh_, q, k_all, v_all, key_mask,
+            axis_name=seq_axis, causal=True,
+            need_unmasked=bool(ls) and logz2 == "unmasked",
+            batch_axis=batch_axis,
+        )
+        if ls:
+            log_z2 = lse if logz2 == "masked" else lse_u
+            attn = apply_attn_shift(ls, q, log_z2, attn, multi_head)
+    elif use_flash:
         # Pallas fused path: causal + key-padding handled in-kernel; both the
         # masked lse and the reference-parity unmasked logsumexp come out free
         from ..ops.flash_attention import DEFAULT_BK, DEFAULT_BQ, flash_attention_diff
@@ -340,6 +357,10 @@ def decoder_forward(
     logz2: str = "unmasked",
     key_mask: Optional[jnp.ndarray] = None,
     attn_impl: str = "xla",
+    ring_mesh: Any = None,
+    ring_axis: str = "sp",
+    ring_batch_axis: Optional[str] = None,
+    ring_min_len: int = 0,
     capture_layer_inputs: bool = False,
     perturb_attn: Optional[jnp.ndarray] = None,
     perturb_ffn: Optional[jnp.ndarray] = None,
@@ -390,6 +411,20 @@ def decoder_forward(
         # already bounds the lookback), otherwise fall back to XLA
         and (cfg.sliding_window is None or T <= cfg.sliding_window)
     )
+    # sequence-parallel ring attention: only for long cacheless sequences whose
+    # length divides evenly over the mesh axis (the record pass of a >32-shot
+    # MimIC train step); short passes stay single-device XLA/flash
+    ring = None
+    if (
+        attn_impl == "ring"
+        and attend_cacheless
+        and key_mask is not None
+        and ring_mesh is not None
+        and cfg.sliding_window is None
+    ):
+        n_sp = dict(zip(ring_mesh.axis_names, ring_mesh.devices.shape))[ring_axis]
+        if T % n_sp == 0 and T >= max(ring_min_len, n_sp):
+            ring = (ring_mesh, ring_axis, ring_batch_axis)
 
     use_dropout = (
         dropout_rng is not None and lora_dropout > 0.0 and adapters is not None
@@ -410,6 +445,7 @@ def decoder_forward(
             use_flash=use_flash,
             drop_keys=dkeys, drop_rate=lora_dropout if use_dropout else 0.0,
             prompt_k=pk, prompt_v=pv, prompt_mask=prompt_mask,
+            ring=ring,
         )
         attn_out = apply_output_shift(
             attn_out, os_.get("attn_out_shift"), os_.get("attn_out_scale")

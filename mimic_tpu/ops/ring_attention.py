@@ -63,11 +63,12 @@ def ring_attention(
         k_pos = kv_rank * C + jnp.arange(C)
 
         if need_unmasked:
-            valid_u = mask_blk[:, None, None, None, :].astype(bool)
-            s_u = jnp.where(valid_u, s, NEG)
-            m_u_new = jnp.maximum(m_u, jnp.max(s_u, axis=-1))
+            # fully unmasked (no causal, no padding) — bit-matches the flash
+            # kernel's lse_u and the XLA ``unmasked_lse`` (reference do_shift
+            # applies no mask at all, src/shift_encoder.py:697-703)
+            m_u_new = jnp.maximum(m_u, jnp.max(s, axis=-1))
             l_u = l_u * jnp.exp(m_u - m_u_new) + jnp.sum(
-                jnp.exp(s_u - m_u_new[..., None]), axis=-1
+                jnp.exp(s - m_u_new[..., None]), axis=-1
             )
             m_u = m_u_new
 
@@ -126,9 +127,11 @@ def ring_attention_sharded(
     axis_name: str = "sp",
     causal: bool = True,
     need_unmasked: bool = True,
+    batch_axis: Optional[str] = None,
 ):
     """Convenience wrapper: shard q/k/v/key_mask over ``axis_name`` on the sequence
-    dimension and run the ring."""
+    dimension (and optionally the batch dimension over ``batch_axis``) and run
+    the ring.  Usable inside jit — the mesh is closed over at trace time."""
     from jax.sharding import PartitionSpec as P
 
     try:
@@ -136,17 +139,15 @@ def ring_attention_sharded(
     except ImportError:  # older jax
         from jax.experimental.shard_map import shard_map
 
+    spec = P(batch_axis, axis_name)
     fn = shard_map(
         partial(
             ring_attention, axis_name=axis_name, causal=causal,
             need_unmasked=need_unmasked,
         ),
         mesh=mesh,
-        in_specs=(
-            P(None, axis_name), P(None, axis_name), P(None, axis_name),
-            P(None, axis_name),
-        ),
-        out_specs=(P(None, axis_name), P(None, axis_name), P(None, axis_name)),
+        in_specs=(spec, spec, spec, spec),
+        out_specs=(spec, spec, spec),
         check_vma=False,
     )
     return fn(q, k, v, key_mask)

@@ -71,9 +71,11 @@ def compute_loss(
     attn_impl: str = "xla",
     lora_dropout: float = 0.0,
     dropout_rng: Optional[jax.Array] = None,
+    ring_kwargs: Optional[Dict[str, Any]] = None,
 ) -> Tuple[jnp.ndarray, Dict[str, jnp.ndarray]]:
     shift = trainable.get("shift") or None
     lora = trainable.get("lora") or None
+    ring_kwargs = ring_kwargs or {}
     loss = jnp.zeros((), jnp.float32)
     metrics: Dict[str, jnp.ndarray] = {}
 
@@ -86,7 +88,7 @@ def compute_loss(
         out1 = lvlm_forward(
             frozen, cfg, _full_lvlm_batch(batch),
             capture_attn=rec_attn, capture_ffn=rec_ffn, logz2=logz2,
-            attn_impl=attn_impl,
+            attn_impl=attn_impl, **ring_kwargs,
             capture_gather_idx=batch.get("prefix_q_idx") if layer_wise else None,
         )
         prefix_logits = jax.lax.stop_gradient(out1.logits)
@@ -101,7 +103,7 @@ def compute_loss(
         shift=shift, adapters=lora, lora_scaling=lora_scaling,
         lora_dropout=lora_dropout, dropout_rng=dropout_rng,
         multi_head=mh, capture_attn=rec_attn, capture_ffn=rec_ffn, logz2=logz2,
-        attn_impl=pass2_impl,
+        attn_impl=pass2_impl, **ring_kwargs,
         capture_gather_idx=batch.get("shift_q_idx") if layer_wise else None,
     )
 
@@ -168,13 +170,32 @@ def make_train_step(
     accumulate_steps: int = 1,
     donate: bool = True,
     seed: int = 0,
+    ring_mesh: Any = None,
+    ring_axis: str = "sp",
+    ring_batch_axis: Optional[str] = None,
+    ring_min_len: int = 0,
 ):
     """Build the jitted (state, frozen, batch) → (state, metrics) step.
 
     Gradient accumulation uses ``optax.MultiSteps`` semantics via the wrapped
     optimizer — pass the already-wrapped optimizer when ``accumulate_steps > 1``.
+
+    ``attn_impl="ring"`` + ``ring_mesh``: the record pass's sequence axis is
+    sharded over ``ring_axis`` of the mesh and attention runs as a ppermute
+    ring (``ops/ring_attention.py``) — exact attention for >32-shot contexts
+    that exceed one device's memory (the reference has no long-context
+    strategy; it manages context down, SURVEY §5).  Sequences shorter than
+    ``ring_min_len`` (e.g. the shift pass) stay single-device.
     """
     strategy = encoder_cfg.strategy()
+    ring_kwargs = {}
+    if attn_impl == "ring":
+        if ring_mesh is None:
+            raise ValueError('attn_impl="ring" requires ring_mesh')
+        ring_kwargs = dict(
+            ring_mesh=ring_mesh, ring_axis=ring_axis,
+            ring_batch_axis=ring_batch_axis, ring_min_len=ring_min_len,
+        )
     loss_kwargs = dict(
         cfg=cfg,
         strategy=strategy,
@@ -187,6 +208,7 @@ def make_train_step(
         lora_dropout=lora_dropout,
         logz2=logz2,
         attn_impl=attn_impl,
+        ring_kwargs=ring_kwargs,
     )
     base_rng = jax.random.PRNGKey(seed)
 

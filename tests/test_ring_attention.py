@@ -30,10 +30,9 @@ def reference(q, k, v, km, causal):
     if causal:
         mask = mask & jnp.tril(jnp.ones((T, T), bool))[None, None]
     out, lse = sdpa_with_lse(q, kr, vr, mask)
-    # unmasked-with-padding: the ring's lse_u masks invalid slots but ignores causality
-    scores = jnp.einsum("bthd,bshd->bhts", q, kr) / (q.shape[-1] ** 0.5)
-    scores = jnp.where(km[:, None, None, :].astype(bool), scores, -1e30)
-    lse_u = jnp.transpose(jax.nn.logsumexp(scores, axis=-1), (0, 2, 1))
+    # fully unmasked (no causal, no padding): parity with flash's lse_u and
+    # the XLA unmasked_lse (reference do_shift applies no mask)
+    lse_u = unmasked_lse(q, kr)
     return out, lse, lse_u
 
 
