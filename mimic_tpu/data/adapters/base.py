@@ -15,7 +15,13 @@ import numpy as np
 
 from ...config import DataConfig
 from ..core import ContextDataLoader, prepare_dataloader, prepare_input
-from ..samplers import BatchSampler, DistributedSampler, RandomSampler, SequentialSampler
+from ..samplers import (
+    BatchSampler,
+    DistributedSampler,
+    ListSampler,
+    RandomSampler,
+    SequentialSampler,
+)
 
 
 def seeded_shuffle(items: Sequence, seed: int) -> List:
@@ -32,6 +38,7 @@ class DatasetAdapter(ABC):
     support_datasets: List[str] = []
 
     _num_skip_oom: int = 0
+    _eval_shard: Tuple[int, int] = (0, 1)  # (rank, num_replicas)
 
     def __init__(self, data_cfg: DataConfig, support_set: Sequence, query_set: Sequence):
         self.cfg = data_cfg
@@ -84,6 +91,29 @@ class DatasetAdapter(ABC):
 
     @abstractmethod
     def eval(self, eval_cfg, runner) -> Tuple[List[Dict], Dict]: ...
+
+    # -- host-sharded evaluation ---------------------------------------------
+
+    def set_eval_shard(self, rank: int, num_replicas: int) -> None:
+        """Restrict this adapter's validation set to query stride ``rank::R``.
+
+        Within one (dataset, shot, epoch) task, each host evaluates an
+        interleaved slice of the query set (the eval analog of the reference's
+        manual train DistributedSampler, ``src/train.py:104``; the reference
+        eval phase has no such sharding and leaves extra GPUs idle).  When
+        sharded, ``eval()`` returns the un-computed ``Metric`` (rows intact)
+        so ``pipeline.evaluate.run_eval`` can merge rows across hosts before
+        computing the final score.
+        """
+        if not 0 <= rank < num_replicas:
+            raise ValueError(f"rank {rank} out of range for {num_replicas} replicas")
+        self._eval_shard = (rank, num_replicas)
+
+    def _finish(self, records: List[Dict], metric) -> Tuple[List[Dict], Any]:
+        rank, num_replicas = self._eval_shard
+        if num_replicas == 1:
+            return records, metric.compute()
+        return records, metric  # caller merges rows across hosts, then computes
 
     # -- prediction ----------------------------------------------------------
 
@@ -181,7 +211,16 @@ class DatasetAdapter(ABC):
         )
 
     def validation_dataloader(self, batch_size: int) -> ContextDataLoader:
-        """Support-sampled demos + sequential queries (interface.py:291-327)."""
+        """Support-sampled demos + sequential queries (interface.py:291-327).
+
+        Under ``set_eval_shard(rank, R)`` each host takes queries
+        ``rank, rank+R, rank+2R, …`` with exactly the demo blocks a
+        single-host run would have paired with those queries (the full demo
+        stream is materialized once and sliced block-wise), so sharded and
+        unsharded evals see identical (demos, query) contexts.
+        """
+        rank, num_replicas = self._eval_shard
+        nq = len(self.query_set)
         if self.cfg.num_shot > 0:
             total_required = self.cfg.num_shot * self.cfg.num_query_samples
             support_sampler = RandomSampler(
@@ -190,15 +229,34 @@ class DatasetAdapter(ABC):
                 num_samples=total_required,
                 seed=self.cfg.seed,
             )
+            if num_replicas > 1:
+                stream = list(iter(support_sampler))
+                ns = self.cfg.num_shot
+                demo_idx = [
+                    i
+                    for q in range(rank, nq, num_replicas)
+                    for i in stream[q * ns : (q + 1) * ns]
+                ]
+                support_sampler = ListSampler(demo_idx)
+                query_sampler = ListSampler(range(rank, nq, num_replicas))
+            else:
+                query_sampler = SequentialSampler(nq)
             return prepare_dataloader(
                 [self.support_set, self.query_set],
                 batch_size=batch_size,
                 num_per_dataset=[self.cfg.num_shot, 1],
                 samplers=[
                     BatchSampler(support_sampler, self.cfg.num_shot, drop_last=True),
-                    SequentialSampler(len(self.query_set)),
+                    query_sampler,
                 ],
                 drop_last=True,
+            )
+        if num_replicas > 1:
+            return prepare_dataloader(
+                [self.query_set],
+                batch_size=batch_size,
+                num_shots=0,
+                samplers=[ListSampler(range(rank, nq, num_replicas))],
             )
         return prepare_dataloader(
             [self.query_set], batch_size=batch_size, num_shots=0

@@ -58,4 +58,4 @@ class CaptionAdapter(DatasetAdapter):
                 if self.name == "coco":
                     record["cocoid"] = last_item.get("cocoid")
                 result.append(record)
-        return result, metric.compute()
+        return self._finish(result, metric)

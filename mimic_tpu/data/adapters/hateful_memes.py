@@ -58,4 +58,4 @@ class HatefulMemesAdapter(DatasetAdapter):
                         "label": last.get("label"),
                     }
                 )
-        return result, metric.compute()
+        return self._finish(result, metric)

@@ -54,4 +54,4 @@ class MMEAdapter(DatasetAdapter):
                         "question_id": last_qa.get("question_id"),
                     }
                 )
-        return result, metric.compute()
+        return self._finish(result, metric)

@@ -63,4 +63,4 @@ class SeedBenchAdapter(DatasetAdapter):
                         "answer": last_qa["answer"],
                     }
                 )
-        return result, metric.compute()
+        return self._finish(result, metric)

@@ -73,7 +73,7 @@ class VQAAdapter(DatasetAdapter):
                         "answers": last_qa["answers"],
                     }
                 )
-        return result, metric.compute()
+        return self._finish(result, metric)
 
     def _eval_exact_match(self, eval_cfg, runner):
         result = []
@@ -103,4 +103,4 @@ class VQAAdapter(DatasetAdapter):
                         "answer": last_qa["answer"],
                     }
                 )
-        return result, metric.compute()
+        return self._finish(result, metric)

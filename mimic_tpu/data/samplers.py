@@ -25,6 +25,20 @@ class SequentialSampler:
         return self.n
 
 
+class ListSampler:
+    """Yields a fixed, explicit index sequence (host-sharded eval uses this to
+    replay exactly the demo/query stream a single-host run would assign)."""
+
+    def __init__(self, indices: Sequence[int]):
+        self.indices = list(indices)
+
+    def __iter__(self) -> Iterator[int]:
+        return iter(self.indices)
+
+    def __len__(self) -> int:
+        return len(self.indices)
+
+
 class RandomSampler:
     """Uniform sampling; with replacement draws ``num_samples`` indices, without
     replacement yields one shuffled epoch (fresh draw each ``__iter__``)."""

@@ -25,6 +25,15 @@ class Metric:
         for i, (p, r) in enumerate(zip(predictions, references)):
             self.add(prediction=p, reference=r, **{k: extras[k][i] for k in keys})
 
+    @property
+    def rows(self) -> List[Dict[str, Any]]:
+        """Accumulated rows (JSON-serializable) — the unit of cross-host merge."""
+        return list(self._rows)
+
+    def load_rows(self, rows: List[Dict[str, Any]]) -> None:
+        """Replace accumulated rows (merging host-sharded eval partials)."""
+        self._rows = list(rows)
+
     def compute(self) -> Dict[str, Any]:
         if not self._rows:
             raise ValueError(f"{type(self).__name__}.compute() called with no samples")

@@ -12,7 +12,8 @@ from __future__ import annotations
 
 import json
 import os
-from typing import Any, Dict, Optional, Tuple
+import time
+from typing import Any, Dict, List, Optional, Tuple
 
 from ..config import EvalConfig, config_to_dict
 from ..data.adapters import build_adapter
@@ -42,15 +43,67 @@ def save_record(path: str, eval_result: Dict, records, train_cfg: Optional[Dict]
         json.dump(payload, f, indent=2, default=str)
 
 
+def _default_shard() -> Tuple[int, int]:
+    try:
+        import jax
+
+        return jax.process_index(), jax.process_count()
+    except Exception:
+        return 0, 1
+
+
+def _atomic_json(path: str, payload) -> None:
+    tmp = path + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(payload, f, default=str)
+    os.replace(tmp, path)
+
+
+def _interleave(parts: List[List]) -> List:
+    """Round-robin merge of per-rank lists back into single-host query order
+    (rank r evaluated queries r, r+R, r+2R, …)."""
+    merged = []
+    for i in range(max((len(p) for p in parts), default=0)):
+        for p in parts:
+            if i < len(p):
+                merged.append(p[i])
+    return merged
+
+
+def _merge_shards(path: str, num_replicas: int, timeout: float) -> List[Dict]:
+    """Rank 0: wait for every rank's part file, load them in rank order."""
+    paths = [f"{path}.part-{r}-of-{num_replicas}" for r in range(num_replicas)]
+    deadline = time.time() + timeout
+    while any(not os.path.exists(p) for p in paths):
+        if time.time() > deadline:
+            missing = [p for p in paths if not os.path.exists(p)]
+            raise TimeoutError(f"eval shard merge: missing parts {missing}")
+        time.sleep(0.2)
+    parts = [json.load(open(p)) for p in paths]
+    for p in paths:
+        os.remove(p)
+    return parts
+
+
 def run_eval(
     cfg: EvalConfig,
     runner,
     result_dir: str = "results",
     adapter=None,
     splits=None,
+    shard: Optional[Tuple[int, int]] = None,
+    shard_merge_timeout: float = 3600.0,
 ) -> Optional[Tuple[Any, Dict]]:
     """Evaluate ``runner`` on the configured dataset; returns (records, metrics) or
-    None when the record already exists and resume is on."""
+    None when the record already exists and resume is on.
+
+    Multi-host: ``shard=(rank, num_replicas)`` (default: jax process index/count)
+    splits the query set across hosts within this one task — the eval analog of
+    ``train_entry``'s per-host sharding (the reference leaves extra GPUs idle
+    during a single eval task, ``src/pipeline.py:169-227`` farms whole tasks
+    only).  Non-zero ranks write a part file and return None; rank 0 waits for
+    all parts, merges records and metric rows in query order, computes the
+    final metrics, and persists the single combined record."""
     cfg.data.is_icl = cfg.is_icl
     path = record_path(cfg, result_dir)
     if cfg.resume and os.path.exists(path):
@@ -78,7 +131,26 @@ def run_eval(
                 "a template via EvalConfig and let the caller load it)."
             )
 
+    rank, num_replicas = shard if shard is not None else _default_shard()
+    if num_replicas > 1:
+        adapter.set_eval_shard(rank, num_replicas)
+
     records, eval_result = adapter.eval(cfg, runner)
+
+    if num_replicas > 1:
+        # eval_result is the un-computed Metric (rows intact); merge across hosts
+        metric = eval_result
+        os.makedirs(os.path.dirname(path), exist_ok=True)
+        _atomic_json(
+            f"{path}.part-{rank}-of-{num_replicas}",
+            {"records": records, "rows": metric.rows},
+        )
+        if rank != 0:
+            return None
+        parts = _merge_shards(path, num_replicas, shard_merge_timeout)
+        records = _interleave([p["records"] for p in parts])
+        metric.load_rows(_interleave([p["rows"] for p in parts]))
+        eval_result = metric.compute()
 
     train_cfg = None
     if cfg.ckpt_path:
