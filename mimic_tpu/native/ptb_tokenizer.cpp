@@ -6,6 +6,11 @@
 // pure-Python fallback in mimic_tpu/evaluate/ptb_tokenizer.py (which is the
 // parity oracle in tests), built once with g++ and loaded via ctypes.
 //
+// Scanner rules (Stanford default ptb3Escaping conventions): see the Python
+// twin's module docstring.  Lowercasing here is ASCII-only; callers with
+// non-ASCII uppercase text should lowercase on the Python side first (caption
+// generation output is ASCII in practice).
+//
 // Exported C ABI:
 //   int ptb_tokenize_line(const char* line, int lowercase,
 //                         char* out, int out_cap);
@@ -22,6 +27,10 @@ namespace {
 inline bool is_word_byte(unsigned char c) {
   // ASCII word chars plus all non-ASCII bytes (UTF-8 letters approximate \w)
   return std::isalnum(c) || c == '_' || c >= 0x80;
+}
+
+inline bool is_alpha_byte(unsigned char c) {
+  return std::isalpha(c) || c >= 0x80;
 }
 
 inline bool is_space_byte(unsigned char c) { return std::isspace(c) != 0; }
@@ -48,8 +57,52 @@ bool is_clause_punct(char c) {
   }
 }
 
+// PTB sed-script special splits (mirrors SPECIAL_SPLITS in the Python twin)
+struct Special { const char* word; const char* parts[3]; };
+const Special kSpecials[] = {
+    {"cannot", {"can", "not", nullptr}},
+    {"gonna", {"gon", "na", nullptr}},
+    {"gotta", {"got", "ta", nullptr}},
+    {"wanna", {"wan", "na", nullptr}},
+    {"lemme", {"lem", "me", nullptr}},
+    {"gimme", {"gim", "me", nullptr}},
+    {"more'n", {"more", "'n", nullptr}},
+    {"'tis", {"'t", "is", nullptr}},
+    {"'twas", {"'t", "was", nullptr}},
+    {"d'ye", {"d'", "ye", nullptr}},
+    {"whaddya", {"wha", "dd", "ya"}},
+    {"whatcha", {"wha", "t", "cha"}},
+};
+
+bool special_split(const std::string& tok, std::vector<std::string>* out) {
+  for (const Special& sp : kSpecials) {
+    if (tok == sp.word) {
+      for (const char* p : sp.parts) {
+        if (p) out->push_back(p);
+      }
+      return true;
+    }
+  }
+  return false;
+}
+
+// title/unit abbreviations that keep their period (TITLE_ABBREVS twin)
+const char* kTitleAbbrevs[] = {
+    "mr", "mrs", "ms", "dr", "prof", "rev", "gen", "sen", "rep", "gov",
+    "st", "jr", "sr", "capt", "col", "sgt", "lt", "maj", "vs", "etc",
+    "inc", "ltd", "co", "corp", "ft", "oz", "lb", "lbs",
+};
+
+bool is_title_abbrev(const std::string& tok) {
+  for (const char* a : kTitleAbbrevs) {
+    if (tok == a) return true;
+  }
+  return false;
+}
+
 // split trailing contractions recursively: n't 's 'm 're 've 'll 'd
 void split_contractions(const std::string& tok, std::vector<std::string>* out) {
+  if (special_split(tok, out)) return;
   size_t n = tok.size();
   auto tail_is = [&](const char* suf) {
     size_t m = std::strlen(suf);
@@ -62,8 +115,8 @@ void split_contractions(const std::string& tok, std::vector<std::string>* out) {
     // head must end in a word byte
     return is_word_byte(static_cast<unsigned char>(tok[n - m - 1]));
   };
-  static const char* two[] = {"'s", "'m", "'d"};
   static const char* three[] = {"n't", "'re", "'ve", "'ll"};
+  static const char* two[] = {"'s", "'m", "'d"};
   for (const char* suf : three) {
     if (tail_is(suf)) {
       split_contractions(tok.substr(0, n - 3), out);
@@ -81,22 +134,48 @@ void split_contractions(const std::string& tok, std::vector<std::string>* out) {
   out->push_back(tok);
 }
 
+// unicode (UTF-8) normalization: curly quotes, ellipsis, em/en dashes
+void normalize_unicode(std::string* s) {
+  std::string out;
+  out.reserve(s->size());
+  size_t i = 0, n = s->size();
+  while (i < n) {
+    unsigned char a = (*s)[i];
+    if (a == 0xE2 && i + 2 < n) {
+      unsigned char b = (*s)[i + 1], c = (*s)[i + 2];
+      if (b == 0x80) {
+        if (c == 0x99 || c == 0x98) { out += '\''; i += 3; continue; }   // ’ ‘
+        if (c == 0x9C || c == 0x9D) { out += '"'; i += 3; continue; }    // “ ”
+        if (c == 0xA6) { out += "..."; i += 3; continue; }               // …
+        if (c == 0x94 || c == 0x93) { out += "--"; i += 3; continue; }   // — –
+      }
+    }
+    out += static_cast<char>(a);
+    ++i;
+  }
+  s->swap(out);
+}
+
 void tokenize(const std::string& line, std::vector<std::string>* out) {
   size_t i = 0;
   const size_t n = line.size();
+  bool prev_is_boundary = true;
   while (i < n) {
     unsigned char c = line[i];
     if (is_space_byte(c)) {
       ++i;
+      prev_is_boundary = true;
       continue;
     }
+    bool start_boundary = prev_is_boundary;
+    prev_is_boundary = false;
     // ellipsis
     if (c == '.' && i + 2 < n && line[i + 1] == '.' && line[i + 2] == '.') {
       out->push_back("...");
       i += 3;
       continue;
     }
-    // dashes --+
+    // dash runs
     if (c == '-' && i + 1 < n && line[i + 1] == '-') {
       size_t j = i;
       while (j < n && line[j] == '-') ++j;
@@ -110,41 +189,55 @@ void tokenize(const std::string& line, std::vector<std::string>* out) {
       ++i;
       continue;
     }
-    // numbers with internal . or ,
-    if (std::isdigit(c)) {
+    // letter-period acronym (u.s., a.m.): >= 2 letter-dot groups, not running
+    // into a longer word
+    if (is_alpha_byte(c) && i + 1 < n && line[i + 1] == '.') {
       size_t j = i;
-      while (j < n) {
-        if (std::isdigit(static_cast<unsigned char>(line[j]))) {
-          ++j;
-        } else if ((line[j] == '.' || line[j] == ',') && j + 1 < n &&
-                   std::isdigit(static_cast<unsigned char>(line[j + 1]))) {
-          j += 2;
-          while (j < n && std::isdigit(static_cast<unsigned char>(line[j]))) ++j;
-        } else {
-          break;
-        }
+      int groups = 0;
+      while (j + 1 < n && is_alpha_byte(static_cast<unsigned char>(line[j])) &&
+             line[j + 1] == '.') {
+        j += 2;
+        ++groups;
       }
-      // always emit the digit run ("2nd" → "2" + "nd", matching the Python
-      // regex's leftmost-match behavior)
-      out->push_back(line.substr(i, j - i));
-      i = j;
-      continue;
+      if (groups >= 2 &&
+          (j >= n || !is_word_byte(static_cast<unsigned char>(line[j])))) {
+        out->push_back(line.substr(i, j - i));
+        i = j;
+        continue;
+      }
     }
-    // words incl. internal hyphen/apostrophe, optional trailing '
+    // word / number with internal joiners
     if (is_word_byte(c)) {
       size_t j = i;
       while (j < n) {
-        if (is_word_byte(static_cast<unsigned char>(line[j]))) {
+        unsigned char ch = line[j];
+        if (is_word_byte(ch)) {
           ++j;
-        } else if ((line[j] == '-' || line[j] == '\'') && j + 1 < n &&
+        } else if ((ch == '-' || ch == '\'') && j + 1 < n &&
                    is_word_byte(static_cast<unsigned char>(line[j + 1]))) {
+          j += 2;
+        } else if ((ch == '.' || ch == ',') && j > i &&
+                   std::isdigit(static_cast<unsigned char>(line[j - 1])) &&
+                   j + 1 < n &&
+                   std::isdigit(static_cast<unsigned char>(line[j + 1]))) {
           j += 2;
         } else {
           break;
         }
       }
-      if (j < n && line[j] == '\'') ++j;  // trailing apostrophe
-      split_contractions(line.substr(i, j - i), out);
+      std::string word = line.substr(i, j - i);
+      bool trailing_quote = false;
+      if (j < n && line[j] == '\'') {
+        // dogs' -> dogs + ' (possessive plural; Stanford splits it)
+        trailing_quote = true;
+        ++j;
+      }
+      if (j < n && line[j] == '.' && !trailing_quote && is_title_abbrev(word)) {
+        word += '.';
+        ++j;
+      }
+      split_contractions(word, out);
+      if (trailing_quote) out->push_back("'");
       i = j;
       continue;
     }
@@ -154,10 +247,26 @@ void tokenize(const std::string& line, std::vector<std::string>* out) {
       ++i;
       continue;
     }
-    // double quote → ''
+    // apostrophe-leading PTB specials ('tis, 'twas)
+    if (c == '\'' && i + 1 < n &&
+        is_word_byte(static_cast<unsigned char>(line[i + 1]))) {
+      size_t j = i + 1;
+      while (j < n && is_word_byte(static_cast<unsigned char>(line[j]))) ++j;
+      if (special_split(line.substr(i, j - i), out)) {
+        i = j;
+        continue;
+      }
+    }
+    // quotes: side-aware PTB forms
     if (c == '"') {
-      out->push_back("''");
+      out->push_back(start_boundary ? "``" : "''");
       ++i;
+      continue;
+    }
+    if (c == '\'') {
+      out->push_back(start_boundary ? "`" : "'");
+      ++i;
+      prev_is_boundary = start_boundary;  // 'hello: quote then word
       continue;
     }
     // any other single non-space char
@@ -179,6 +288,7 @@ extern "C" int ptb_tokenize_line(const char* line, int lowercase, char* out,
   for (auto& ch : text) {
     if (ch == '\n') ch = ' ';
   }
+  normalize_unicode(&text);
   std::vector<std::string> toks;
   tokenize(text, &toks);
   std::string joined;
