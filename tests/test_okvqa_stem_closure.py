@@ -1,0 +1,262 @@
+"""OKVQA stemmer equivalence over a closed VQA-answer vocabulary.
+
+The reference stems with ``nltk.pos_tag(word_tokenize(s))`` + WordNet verb
+lemmatization + ``inflection.singularize`` (``testbed/data/ok_vqa/__init__.py:
+188-206``).  Those data files cannot ship here, so equivalence is proven over
+a closed vocabulary instead: every expected value below is hand-derived from
+the reference pipeline's documented semantics —
+
+- MANUAL_MATCHES applies first (reference checks its table before anything);
+- ``-ing`` tokens go through WordNet morphy as VERB: suffix rules
+  ``ing → ''`` / ``ing → e`` filtered by the verb lexicon, verb.exc for
+  doubled-consonant gerunds (running → run), the word itself if it is a verb
+  lemma (spring → spring), and UNCHANGED when no verb form exists
+  (thing → thing, lightning → lightning);
+- s-final tokens tagged NNS/NNPS go through Rails ``inflection.singularize``
+  including its quirks (cookies → cooky, viruses → viruse); tokens a tagger
+  labels VBZ/PRP/RB/IN/NN (was, theirs, always, texas, gas, …) stay unchanged.
+
+Any future stemmer change must keep every row green — divergences from the
+reference must be added to the tables, not waved through.
+"""
+
+import pytest
+
+from mimic_tpu.evaluate.okvqa_stem import (
+    MANUAL_MATCHES,
+    OKVQAStemmer,
+    lemmatize_ing,
+    okvqa_postprocess,
+    singularize,
+)
+
+stemmer = OKVQAStemmer()
+
+
+def stem_word(w):
+    return stemmer.stem(w)
+
+
+# -- class 1: manual-match table (reference checks it first) -----------------
+
+
+SINGLE_TOKEN_TABLE = {
+    w: e for w, e in MANUAL_MATCHES.items() if "'" not in w
+}
+# Possessive table keys ("men's", "boy's", …) are DEAD CODE in the reference:
+# nltk.word_tokenize splits the clitic first (["men", "'s"]), so the combined
+# key never reaches the table.  The live reference behavior is per-token:
+POSSESSIVE_EXPECTED = {
+    "hell's": "hell 's", "domino's": "domino 's",
+    "men's": "man 's",       # "men" is tagged NNS → inflection gives "man"
+    "boy's": "boy 's", "kid's": "kid 's", "batter's": "batter 's",
+    "farmer's": "farmer 's", "daughter's": "daughter 's",
+    "veteran's": "veteran 's", "regent's": "regent 's",
+}
+
+
+class TestManualTable:
+    @pytest.mark.parametrize("word,expected", sorted(SINGLE_TOKEN_TABLE.items()))
+    def test_table_applies_first(self, word, expected):
+        assert stem_word(word) == expected
+
+    @pytest.mark.parametrize("word,expected", sorted(POSSESSIVE_EXPECTED.items()))
+    def test_possessive_keys_follow_tokenized_pipeline(self, word, expected):
+        assert stem_word(word) == expected
+
+
+# -- class 2: -ing tokens → WordNet-morphy verb lemmatization ----------------
+
+ING_EXPECTED = {
+    # verb.exc doubled-consonant gerunds (WordNet lists these explicitly)
+    "running": "run", "sitting": "sit", "swimming": "swim", "cutting": "cut",
+    "getting": "get", "jogging": "jog", "shopping": "shop", "hugging": "hug",
+    "digging": "dig", "batting": "bat", "hitting": "hit", "petting": "pet",
+    "putting": "put", "winning": "win", "chopping": "chop", "napping": "nap",
+    "clapping": "clap", "dripping": "drip", "wagging": "wag",
+    "begging": "beg", "stopping": "stop", "hopping": "hop",
+    # bare-stem gerunds (ing → '' hits the verb index)
+    "eating": "eat", "drinking": "drink", "sleeping": "sleep",
+    "cooking": "cook", "reading": "read", "playing": "play",
+    "jumping": "jump", "walking": "walk", "talking": "talk",
+    "standing": "stand", "flying": "fly", "fishing": "fish",
+    "hunting": "hunt", "painting": "paint", "drawing": "draw",
+    "snowing": "snow", "raining": "rain", "kayaking": "kayak",
+    "rowing": "row", "sailing": "sail", "feeding": "feed",
+    "herding": "herd", "milking": "milk", "brushing": "brush",
+    "washing": "wash", "cleaning": "clean", "waiting": "wait",
+    "crossing": "cross", "parking": "park", "landing": "land",
+    "boarding": "board", "loading": "load", "building": "build",
+    "skateboarding": "skateboard", "snowboarding": "snowboard",
+    "grilling": "grill", "spelling": "spell", "pulling": "pull",
+    "rolling": "roll", "falling": "fall", "throwing": "throw",
+    "catching": "catch", "kicking": "kick", "pitching": "pitch",
+    "laughing": "laugh", "pointing": "point", "looking": "look",
+    "watching": "watch", "working": "work", "resting": "rest",
+    # ing → e restorations (base verb has silent e; WordNet index decides)
+    "riding": "ride", "taking": "take", "making": "make", "hiking": "hike",
+    "skating": "skate", "surfing": "surf", "biking": "bike",
+    "diving": "dive", "racing": "race", "dancing": "dance",
+    "smiling": "smile", "waving": "wave", "icing": "ice",
+    "skiing": "ski", "juggling": "juggle", "cycling": "cycle",
+    "wrestling": "wrestle", "gliding": "glide", "grazing": "graze",
+    "posing": "pose", "chasing": "chase", "freezing": "freeze",
+    "sneezing": "sneeze", "breathing": "breathe", "bathing": "bathe",
+    "smoking": "smoke", "hoping": "hope", "sharing": "share",
+    "caring": "care", "firing": "fire", "charging": "charge",
+    "changing": "change", "shaking": "shake", "waking": "wake",
+    "leaving": "leave", "saving": "save", "shaving": "shave",
+    "carving": "carve", "serving": "serve", "driving": "drive",
+    "writing": "write", "sliding": "slide", "hiding": "hide",
+    "trading": "trade", "measuring": "measure", "pouring": "pour",
+    "touring": "tour", "tasting": "taste", "bouncing": "bounce",
+    # irregular (verb.exc)
+    "lying": "lie", "dying": "die", "tying": "tie",
+    "being": "be", "having": "have", "doing": "do", "going": "go",
+    "seeing": "see", "saying": "say", "coming": "come", "giving": "give",
+    "singing": "sing", "swinging": "swing", "bringing": "bring",
+    "hanging": "hang", "springing": "spring", "stringing": "string",
+    # the token IS a verb lemma → WordNet returns it unchanged
+    "spring": "spring", "string": "string", "bring": "bring",
+    "swing": "swing", "cling": "cling", "sting": "sting",
+    # <= 4 chars: reference's lemmatizer finds the base form == the word
+    "king": "king", "ring": "ring", "wing": "wing", "sing": "sing",
+    # -ing nouns with NO verb reading reachable by morphy → unchanged
+    "thing": "thing", "something": "something", "anything": "anything",
+    "everything": "everything", "nothing": "nothing",
+    "lightning": "lightning", "sibling": "sibling", "duckling": "duckling",
+    "dumpling": "dumpling", "darling": "darling", "herring": "herring",
+    "inning": "inning", "viking": "viking", "offspring": "offspring",
+    "earring": "earring", "during": "during",
+    # -ing nouns WITH a verb reading in WordNet (ceil, even, wed are verbs)
+    "ceiling": "ceil", "evening": "even", "wedding": "wed",
+    # table overrides beat the lemmatizer (reference order)
+    "morning": "morn", "pudding": "pud", "clothing": "cloth",
+    "awning": "awn", "dining": "dine", "teething": "teeth",
+}
+
+
+class TestIngClass:
+    @pytest.mark.parametrize("word,expected", sorted(ING_EXPECTED.items()))
+    def test_ing_token(self, word, expected):
+        assert stem_word(word) == expected
+
+
+# -- class 3: s-final tokens → tagger decision + inflection.singularize ------
+
+PLURAL_EXPECTED = {
+    # plain s$ rule
+    "dogs": "dog", "cats": "cat", "horses": "horse", "birds": "bird",
+    "cars": "car", "trains": "train", "planes": "plane", "boats": "boat",
+    "trees": "tree", "flowers": "flower", "bananas": "banana",
+    "apples": "apple", "oranges": "orange", "pizzas": "pizza",
+    "elephants": "elephant", "giraffes": "giraffe", "zebras": "zebra",
+    "bears": "bear", "players": "player", "skis": "ski",
+    "surfboards": "surfboard", "kites": "kite", "umbrellas": "umbrella",
+    "chairs": "chair", "tables": "table", "plates": "plate",
+    "signs": "sign", "lights": "light", "phones": "phone",
+    "computers": "computer", "books": "book", "bottles": "bottle",
+    "helmets": "helmet", "jackets": "jacket", "hats": "hat",
+    "shirts": "shirt", "pants": "pant", "shorts": "short",
+    "scissors": "scissor", "stairs": "stair",
+    # (x|ch|ss|sh)es$
+    "boxes": "box", "foxes": "fox", "benches": "bench", "beaches": "beach",
+    "sandwiches": "sandwich", "dishes": "dish", "brushes": "brush",
+    "glasses": "glass", "dresses": "dress", "kisses": "kiss",
+    # (o)es$
+    "potatoes": "potato", "tomatoes": "tomato", "heroes": "hero",
+    "mangoes": "mango",
+    # (bus)(es)$ and (shoe)s$
+    "buses": "bus", "shoes": "shoe",
+    # ies$ (incl. the Rails cooky quirk — the reference reproduces it too)
+    "berries": "berry", "puppies": "puppy", "babies": "baby",
+    "cities": "city", "skies": "sky", "flies": "fly", "fries": "fry",
+    "cookies": "cooky", "candies": "candy", "cherries": "cherry",
+    # movies special rule
+    "movies": "movie", "zombies": "zombie",
+    # [lr]ves$ / [^f]ves$
+    "wolves": "wolf", "shelfs": "shelf", "knives": "knife", "wives": "wife",
+    "scarves": "scarf", "calves": "calf",
+    # Rails [^f]ves quirk: "loaves" -> "loafe" (reference reproduces it)
+    "loaves": "loafe",
+    # irregulars
+    "men": "man", "women": "woman", "children": "child",
+    "people": "person", "geese": "goose", "feet": "foot", "teeth": "tooth",
+    "mice": "mouse",
+    # uncountables (inflection returns them unchanged)
+    "series": "series", "species": "species", "news": "news",
+    # Rails viruse quirk (reference reproduces it)
+    "viruses": "viruse",
+    # analyses-style -sis restorations
+    "analyses": "analysis", "crises": "crisis",
+}
+
+UNCHANGED = [
+    # excluded by the ss/us/is suffix rule (reference heuristic + tagger agree)
+    "glass", "grass", "dress", "chess", "class", "circus", "cactus",
+    "octopus", "walrus", "iris", "his", "this",
+    # closed classes a tagger labels VBZ/PRP/RB/IN — never NNS
+    "was", "has", "does", "goes", "says",
+    "its", "hers", "ours", "yours", "theirs",
+    "always", "perhaps", "besides", "towards", "backwards", "forwards",
+    "afterwards", "upstairs", "downstairs", "indoors", "outdoors",
+    # singular proper nouns ending in s (tagger: NNP, not NNPS)
+    "texas", "paris", "kansas", "arkansas", "dallas", "illinois",
+    "massachusetts", "wales", "athens", "naples",
+    # singular common nouns ending in s (tagger: NN)
+    "gas", "lens", "atlas", "canvas",
+    # not s-final at all
+    "sheep", "fish", "deer", "red", "blue", "cat", "frisbee",
+]
+
+
+class TestPluralClass:
+    @pytest.mark.parametrize("word,expected", sorted(PLURAL_EXPECTED.items()))
+    def test_plural_token(self, word, expected):
+        assert stem_word(word) == expected
+
+    @pytest.mark.parametrize("word", UNCHANGED)
+    def test_unchanged_token(self, word):
+        assert stem_word(word) == word
+
+
+# -- class 4: full-string behavior (tokenize → per-token stem → join) --------
+
+
+class TestSentences:
+    def test_multi_word_prediction(self):
+        assert okvqa_postprocess("two dogs running") == "two dog run"
+
+    def test_table_inside_sentence(self):
+        assert okvqa_postprocess("christmas morning") == "christmas morn"
+
+    def test_mixed_classes(self):
+        assert (
+            okvqa_postprocess("riding horses in texas")
+            == "ride horse in texas"
+        )
+
+    def test_gas_station(self):
+        # "gas" must survive (tagger: NN); "stations" singularizes
+        assert okvqa_postprocess("gas stations") == "gas station"
+
+
+# -- consistency: exception tables must not shadow the manual table ----------
+
+
+class TestTableConsistency:
+    def test_manual_table_wins_over_ing_rules(self):
+        # reference checks MANUAL_MATCHES before the -ing branch; our stemmer
+        # must too, even for words both tables know
+        assert stem_word("staring") == "stare"  # manual table value
+        assert stem_word("browsing") == "brows"  # table quirk kept verbatim
+
+    def test_singularize_helper_matches_inflection_quirks(self):
+        assert singularize("cookies") == "cooky"
+        assert singularize("viruses") == "viruse"
+        assert singularize("movies") == "movie"
+
+    def test_lemmatizer_helper(self):
+        assert lemmatize_ing("running") == "run"
+        assert lemmatize_ing("thing") == "thing"
+        assert lemmatize_ing("taking") == "take"
