@@ -1,21 +1,30 @@
 """Benchmark: query-evaluation throughput per chip, eval-protocol shapes.
 
-Measures end-to-end generation throughput (queries/sec) on one TPU chip for an
-idefics2-family model in bf16 under the reference eval protocol
-(``src/config/eval.yaml``: batch 16, num_beams 3, max_new_tokens 10, one image per
-query).  The model is a ~1.1B-parameter instantiation of the flagship
-architecture (random weights — throughput is weight-value independent).
+Measures on one TPU chip:
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
-``vs_baseline`` compares against the previous recorded value in BASELINE.md's
-measured table when present, else 1.0 (the reference repo publishes no numbers —
-BASELINE.json "published": {}).
+1. **headline** — end-to-end generation throughput (queries/sec) for a ~1.67B
+   idefics2-family model in bf16 under the reference eval protocol
+   (``src/config/eval.yaml``: batch 16, num_beams 3, max_new_tokens 10, one
+   image per query; random weights — throughput is weight-value independent);
+2. **qps_8b_int8** — the same protocol on the FULL idefics2-8b architecture
+   (8.33B params, 980px images) served on this one 16 GB chip in int8-memory
+   mode (``scripts/bench_8b_serving.py``; the reference needs a 40 GB GPU);
+3. **mfu** — the MimIC dual-pass train step (1.2B-scale text tower, record
+   T=2048 / shift T=256, batch 2) as model-FLOPs utilization against the v5e
+   bf16 peak (197 TF/s), FLOPs taken from XLA's compiled cost analysis.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", "mfu",
+"extra_metrics", "detail"}.  ``vs_baseline`` compares the headline against the
+previous recorded BENCH_r*.json value (the reference publishes no numbers —
+BASELINE.json "published": {}).  The 8B and mfu sections are fail-soft: an
+error there records a null, never kills the headline metric.
 """
 
 from __future__ import annotations
 
 import json
 import os
+import sys
 import time
 
 import numpy as np
@@ -62,6 +71,91 @@ def build_bench_model():
     )
     params = init_lvlm_params(cfg, jax.random.PRNGKey(0), dtype=jnp.bfloat16)
     return cfg, params, tk
+
+
+def measure_train_mfu():
+    """MimIC dual-pass train-step MFU on a 1.2B-scale text tower.
+
+    Shapes follow the reference train protocol scale (32-shot record pass ≈ 2k
+    tokens, short shift pass): record T=2048, shift T=256, batch 2.  FLOPs come
+    from XLA's compiled cost analysis (no hand model); peak = 197 TF/s bf16
+    (TPU v5e).
+    """
+    import time
+
+    import jax
+    import jax.numpy as jnp
+
+    from mimic_tpu.config import get_preset
+    from mimic_tpu.models.config import ModelConfig, TextConfig
+    from mimic_tpu.models.lm import init_lm_params
+    from mimic_tpu.shift.params import init_shift_params
+    from mimic_tpu.train import TrainState, build_optimizer, make_train_step
+
+    text = TextConfig(
+        vocab_size=32064, hidden_size=2048, num_layers=24, num_heads=16,
+        num_kv_heads=8, intermediate_size=5632, norm_eps=1e-5,
+    )
+    cfg = ModelConfig(name="bench-train", family="text", text=text)
+    params = {"lm": init_lm_params(text, jax.random.PRNGKey(0), dtype=jnp.bfloat16)}
+    enc, peft = get_preset("mimic")
+    shift = init_shift_params(enc, text, jax.random.PRNGKey(1))
+    trainable = {"shift": shift}
+    tx = build_optimizer(
+        trainable, lr=peft.lr, weight_decay=1e-3, warmup_steps=10,
+        total_steps=1000, grad_clip=1.0,
+    )
+    step = make_train_step(
+        cfg, enc, tx, ce_loss_weight=peft.ce_loss_weight,
+        align_loss_weight=peft.align_loss_weight, donate=False,
+        attn_impl="flash" if jax.default_backend() == "tpu" else "xla",
+    )
+
+    B, T_rec, T_shift = 2, 2048, 256
+    rng = np.random.default_rng(0)
+    M = 64  # gathered query rows per sample
+    batch = {
+        "full_ids": jnp.asarray(rng.integers(3, 32000, size=(B, T_rec)), jnp.int32),
+        "full_mask": jnp.ones((B, T_rec), jnp.int32),
+        "query_ids": jnp.asarray(rng.integers(3, 32000, size=(B, T_shift)), jnp.int32),
+        "query_mask": jnp.ones((B, T_shift), jnp.int32),
+        "prefix_q_idx": jnp.asarray(
+            np.tile(np.arange(M)[None], (B, 1)), jnp.int32
+        ),
+        "shift_q_idx": jnp.asarray(np.tile(np.arange(M)[None], (B, 1)), jnp.int32),
+        "q_valid": jnp.ones((B, M), jnp.int32),
+    }
+    state = TrainState(trainable, tx.init(trainable), jnp.zeros((), jnp.int32))
+
+    lowered = step.lower(state, params, batch)
+    compiled = lowered.compile()
+    flops = None
+    try:
+        ca = compiled.cost_analysis()
+        ca = ca[0] if isinstance(ca, (list, tuple)) else ca
+        flops = float(ca.get("flops", 0.0)) or None
+    except Exception:
+        pass
+
+    def sync(metrics):
+        return float(np.asarray(metrics["loss"]))
+
+    state2, metrics = compiled(state, params, batch)
+    sync(metrics)
+    iters = 10
+    t0 = time.perf_counter()
+    m = None
+    for _ in range(iters):
+        state2, m = compiled(state2, params, batch)
+    sync(m)
+    dt = (time.perf_counter() - t0) / iters
+    tfs = (flops / dt / 1e12) if flops else None
+    peak = 197e12  # v5e bf16
+    return {
+        "step_ms": round(dt * 1e3, 2),
+        "tf_per_s": round(tfs, 1) if tfs else None,
+        "mfu": round(flops / dt / peak, 4) if flops else None,
+    }
 
 
 def main():
@@ -126,6 +220,28 @@ def main():
     dt = max(time.perf_counter() - t0 - rtt, 1e-6)
     qps = B * iters / dt
 
+    # free the small model before the 8B build (it needs the HBM headroom)
+    del params, batch, small, last, run
+    import gc
+
+    gc.collect()
+
+    mfu_info = None
+    try:
+        mfu_info = measure_train_mfu()
+    except Exception as e:  # fail-soft: never lose the headline metric
+        print(f"# mfu section failed: {type(e).__name__}: {e}", file=sys.stderr)
+
+    qps_8b = None
+    if jax.default_backend() == "tpu" and not os.environ.get("BENCH_SKIP_8B"):
+        try:
+            sys.path.insert(0, os.path.join(os.path.dirname(__file__), "scripts"))
+            from bench_8b_serving import run_8b_bench
+
+            qps_8b = round(run_8b_bench()["qps"], 3)
+        except Exception as e:
+            print(f"# 8B section failed: {type(e).__name__}: {e}", file=sys.stderr)
+
     baseline = _previous_value()
     vs = qps / baseline if baseline else 1.0
     print(
@@ -135,6 +251,16 @@ def main():
                 "value": round(qps, 3),
                 "unit": "queries/sec/chip",
                 "vs_baseline": round(vs, 3),
+                "mfu": mfu_info.get("mfu") if mfu_info else None,
+                "extra_metrics": {
+                    "eval_query_throughput_idefics2_8b_int8_1chip": qps_8b,
+                    "train_step_ms_1p2b_dualpass": (
+                        mfu_info.get("step_ms") if mfu_info else None
+                    ),
+                    "train_step_tf_per_s": (
+                        mfu_info.get("tf_per_s") if mfu_info else None
+                    ),
+                },
                 "detail": {
                     "params": n_params,
                     "batch": B,

@@ -400,31 +400,17 @@ def decoder_forward(
     # cache_empty (static hint from prefill): attention only needs the current
     # block — run the no-cache path (flash-eligible) and just append k/v after
     attend_cacheless = not use_cache or cache_empty
-    use_flash = (
-        attn_impl == "flash"
-        and attend_cacheless
-        and key_mask is not None
-        and T % 128 == 0
-        and cfg.head_size % 128 == 0
-        # the flash kernel masks causal + key padding only; a sliding window
-        # narrower than the block is irrelevant when T <= window (causality
-        # already bounds the lookback), otherwise fall back to XLA
-        and (cfg.sliding_window is None or T <= cfg.sliding_window)
+    selected = select_attn_path(
+        cfg, attn_impl, T,
+        cacheless=attend_cacheless,
+        has_key_mask=key_mask is not None,
+        ring_mesh=ring_mesh, ring_axis=ring_axis, ring_min_len=ring_min_len,
     )
-    # sequence-parallel ring attention: only for long cacheless sequences whose
-    # length divides evenly over the mesh axis (the record pass of a >32-shot
-    # MimIC train step); short passes stay single-device XLA/flash
-    ring = None
-    if (
-        attn_impl == "ring"
-        and attend_cacheless
-        and key_mask is not None
-        and ring_mesh is not None
-        and cfg.sliding_window is None
-    ):
-        n_sp = dict(zip(ring_mesh.axis_names, ring_mesh.devices.shape))[ring_axis]
-        if T % n_sp == 0 and T >= max(ring_min_len, n_sp):
-            ring = (ring_mesh, ring_axis, ring_batch_axis)
+    ATTN_PATH_LOG.append(selected)
+    use_flash = selected == "flash"
+    ring = (
+        (ring_mesh, ring_axis, ring_batch_axis) if selected == "ring" else None
+    )
 
     use_dropout = (
         dropout_rng is not None and lora_dropout > 0.0 and adapters is not None
@@ -649,6 +635,61 @@ def decoder_forward(
         kv_cache=new_cache,
         layer_inputs=ys.get("layer_in") if capture_layer_inputs else None,
     )
+
+
+# ---------------------------------------------------------------------------
+# attention path selection
+# ---------------------------------------------------------------------------
+
+# trace-time log of the attention path each decoder_forward trace selected —
+# tests assert which implementation actually ran (the flash kernel silently
+# falls back to XLA for e.g. head_size not a lane multiple; that fallback must
+# be visible, not inferred)
+ATTN_PATH_LOG: list = []
+
+
+def select_attn_path(
+    cfg: TextConfig,
+    attn_impl: str,
+    T: int,
+    *,
+    cacheless: bool,
+    has_key_mask: bool,
+    ring_mesh: Any = None,
+    ring_axis: str = "sp",
+    ring_min_len: int = 0,
+) -> str:
+    """Which attention implementation a decoder_forward trace will use.
+
+    - ``"flash"``: the Pallas fused kernel — cacheless, 2D key mask present,
+      block-aligned T, lane-aligned head size, and no sliding window narrower
+      than the block (the kernel masks causal+padding only).
+    - ``"ring"``: sequence-parallel ppermute ring over ``ring_axis`` — long
+      cacheless sequences whose length divides the mesh axis (record pass of a
+      >32-shot MimIC step); short passes stay single-device.
+    - ``"cached"``: the two-part read-only-cache path (decode steps).
+    - ``"xla"``: plain masked sdpa.
+    """
+    if not cacheless:
+        return "cached"
+    if (
+        attn_impl == "flash"
+        and has_key_mask
+        and T % 128 == 0
+        and cfg.head_size % 128 == 0
+        and (cfg.sliding_window is None or T <= cfg.sliding_window)
+    ):
+        return "flash"
+    if (
+        attn_impl == "ring"
+        and has_key_mask
+        and ring_mesh is not None
+        and cfg.sliding_window is None
+    ):
+        n_sp = dict(zip(ring_mesh.axis_names, ring_mesh.devices.shape))[ring_axis]
+        if T % n_sp == 0 and T >= max(ring_min_len, n_sp):
+            return "ring"
+    return "xla"
 
 
 # ---------------------------------------------------------------------------

@@ -16,25 +16,29 @@ sandbox run ~10 MB/s, so host-side staging is not viable either).
 
 Protocol: reference eval protocol shapes (batch 16, beam 3, 10 new tokens,
 512-token prompt, 1 image per query, variable-aspect vision path).
+
+Usage: ``python scripts/bench_8b_serving.py [--phases]`` — with ``--phases``
+also times vision encode and prefill separately (decode = total − prefill).
 """
 
 from __future__ import annotations
 
 import sys
 import time
+from functools import partial
 
 sys.path.insert(0, "/root/repo")
 
 import numpy as np
 
 
-def main():
+def build_8b_int8():
+    """Device-side leaf-streaming build of the int8-memory idefics2-8b tree."""
     import jax
     import jax.numpy as jnp
 
     from mimic_tpu.models.config import get_model_config
-    from mimic_tpu.models.generate import beam_generate
-    from mimic_tpu.models.lvlm import LVLMBatch, init_lvlm_params
+    from mimic_tpu.models.lvlm import init_lvlm_params
     from mimic_tpu.models.tokenizer import SimpleTokenizer
     from mimic_tpu.ops.quant import (
         DECODER_MATMUL_KEYS,
@@ -117,13 +121,19 @@ def main():
         f"({time.perf_counter()-t0:.0f}s)",
         flush=True,
     )
+    return cfg, params, tk, n_params
 
-    B, T, N = 16, 512, 1
+
+def make_batch(cfg, B=16, T=512, N=1):
+    import jax.numpy as jnp
+
+    from mimic_tpu.models.lvlm import LVLMBatch
+
     size = cfg.vision.image_size
     rng = np.random.default_rng(0)
     ids = rng.integers(300, 32000, size=(B, T)).astype(np.int32)
     ids[:, 4 : 4 + cfg.image_seq_len] = cfg.image_token_id
-    batch = LVLMBatch(
+    return LVLMBatch(
         input_ids=jnp.asarray(ids),
         attention_mask=jnp.ones((B, T), jnp.int32),
         pixel_values=jnp.asarray(
@@ -133,33 +143,86 @@ def main():
         patch_mask=jnp.ones((B, N, size // 14, size // 14), jnp.int32),
     )
 
+
+def run_8b_bench(phases: bool = False, iters: int = 5):
+    import jax
+    import jax.numpy as jnp
+
+    from mimic_tpu.models.generate import _prefill, beam_generate
+
+    cfg, params, tk, n_params = build_8b_int8()
+    batch = make_batch(cfg)
+    B = batch.input_ids.shape[0]
+    attn = "flash" if jax.default_backend() == "tpu" else "xla"
+
     run = lambda: beam_generate(
         params, cfg, batch,
         max_new_tokens=10, num_beams=3,
         eos_token_id=tk.eos_token_id, pad_token_id=tk.pad_token_id,
-        attn_impl="flash" if jax.default_backend() == "tpu" else "xla",
+        attn_impl=attn,
     )
 
-    def sync(result) -> float:
-        return int(np.asarray(result.tokens[0, 0]))
+    def sync(x) -> float:
+        return float(np.asarray(jax.tree.leaves(x)[0]).reshape(-1)[0])
+
+    results = {}
+
+    if phases:
+        from mimic_tpu.models.lvlm import encode_images
+
+        vis = jax.jit(
+            lambda p, pv, pm: encode_images(p, cfg, pv, pm, attn_impl=attn)
+        )
+        sync(vis(params, batch.pixel_values, batch.patch_mask))
+        t0 = time.perf_counter()
+        out = None
+        for _ in range(iters):
+            out = vis(params, batch.pixel_values, batch.patch_mask)
+        sync(out)
+        results["vision_ms"] = (time.perf_counter() - t0) / iters * 1e3
+        print(f"vision encode: {results['vision_ms']:.0f} ms/batch", flush=True)
+
+        total = batch.input_ids.shape[1] + 10
+        pre = jax.jit(
+            lambda p, b: _prefill(
+                p, cfg, b, total, None, None, 1.0, "unmasked", jnp.bfloat16, attn
+            )[0]
+        )
+        sync(pre(params, batch))
+        t0 = time.perf_counter()
+        out = None
+        for _ in range(iters):
+            out = pre(params, batch)
+        sync(out)
+        results["prefill_ms"] = (time.perf_counter() - t0) / iters * 1e3
+        print(f"prefill (incl. vision): {results['prefill_ms']:.0f} ms/batch", flush=True)
 
     t0 = time.perf_counter()
     sync(run())
     print(f"compile+first batch {time.perf_counter()-t0:.0f}s", flush=True)
 
-    iters = 5
     t0 = time.perf_counter()
     last = None
     for _ in range(iters):
         last = run()
     sync(last)
     dt = time.perf_counter() - t0
+    results["total_ms"] = dt / iters * 1e3
+    results["qps"] = B * iters / dt
     print(
-        f"8B int8-memory serving: {dt/iters*1e3:.0f} ms/batch -> "
-        f"{B*iters/dt:.1f} queries/s/chip",
+        f"8B int8-memory serving: {results['total_ms']:.0f} ms/batch -> "
+        f"{results['qps']:.2f} queries/s/chip",
         flush=True,
     )
+    if phases and "prefill_ms" in results:
+        dec = results["total_ms"] - results["prefill_ms"]
+        print(
+            f"decode (total - prefill): {dec:.0f} ms / 10 steps = "
+            f"{dec / 10:.1f} ms/step",
+            flush=True,
+        )
+    return results
 
 
 if __name__ == "__main__":
-    main()
+    run_8b_bench(phases="--phases" in sys.argv)
