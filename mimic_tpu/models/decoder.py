@@ -231,6 +231,10 @@ def _self_attention(
         gen_key_mask = key_mask
         if prompt_k is not None:
             gen_key_mask = key_mask[:, prompt_k.shape[1]:]
+        # serve slots carry one extra mask column for the current token (their
+        # timeline is cache capacity + 1); attention over the cache region only
+        # reads the first S columns
+        gen_key_mask = gen_key_mask[:, : cache_k.shape[1]]
         attn, lse, lse_u = cached_attention(
             q, k, v, cache_k, cache_v, cache_len, gen_key_mask, key_mask_new,
             prompt_k=prompt_k, prompt_v=prompt_v, prompt_mask=prompt_mask,
@@ -366,6 +370,7 @@ def decoder_forward(
     perturb_ffn: Optional[jnp.ndarray] = None,
     remat: bool = False,
     cache_empty: bool = False,
+    cache_write_pos: Optional[jnp.ndarray] = None,
 ) -> DecoderOutput:
     """Run the decoder stack.
 
@@ -612,7 +617,20 @@ def decoder_forward(
     h = rms_norm(h, params["final_ln"], cfg.norm_eps)
 
     new_cache = None
-    if use_cache:
+    if use_cache and cache_write_pos is not None:
+        # per-row write positions (continuous-batching serve slots: every slot
+        # sits at its own sequence length); T must be 1.  A B-row scatter of
+        # [L,B,Hkv,Dh] — a few MB, nothing like the full-cache copies the
+        # per-layer approach would cost.
+        idx_b = jnp.arange(B)
+        new_k = kv_cache["k"].at[:, idx_b, cache_write_pos].set(
+            ys["k"][:, :, 0].astype(kv_cache["k"].dtype)
+        )
+        new_v = kv_cache["v"].at[:, idx_b, cache_write_pos].set(
+            ys["v"][:, :, 0].astype(kv_cache["v"].dtype)
+        )
+        new_cache = {"k": new_k, "v": new_v, "length": cache_len}
+    elif use_cache:
         # single append of all layers' new k/v blocks ([L,B,T,Hkv,Dh]) into the
         # carried cache — the per-layer full-cache copies are gone.  With a
         # beam-shared prompt region, "k"/"v" hold only the generated slots, so

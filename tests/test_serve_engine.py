@@ -1,0 +1,137 @@
+"""Continuous-batching serve engine vs static greedy generation.
+
+Each request's tokens must match a standalone unpadded ``greedy_generate`` of
+the same prompt — slot reuse, bucketed left-padded prefill, per-slot cache
+write positions, and mid-flight admission must all be invisible to results.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from mimic_tpu.config import get_preset
+from mimic_tpu.models.config import get_model_config
+from mimic_tpu.models.generate import greedy_generate
+from mimic_tpu.models.lvlm import LVLMBatch, init_lvlm_params
+from mimic_tpu.models.tokenizer import SimpleTokenizer
+from mimic_tpu.serve import ServeEngine, ServeRequest
+from mimic_tpu.shift.params import init_shift_params
+
+
+def _model(family="text"):
+    tk = SimpleTokenizer(padding_side="left")
+    cfg = get_model_config(f"tiny-{family}")
+    cfg = cfg.replace(
+        image_token_id=tk.image_token_id, pad_token_id=tk.pad_token_id,
+        bos_token_id=tk.bos_token_id, eos_token_id=tk.eos_token_id,
+        text=cfg.text.__class__(**{**cfg.text.__dict__, "vocab_size": tk.vocab_size}),
+    )
+    params = init_lvlm_params(cfg, jax.random.PRNGKey(0))
+    return cfg, params, tk
+
+
+def _static_greedy(cfg, params, tk, ids, max_new, pixel_values=None, shift=None):
+    batch = LVLMBatch(
+        input_ids=jnp.asarray(ids[None].astype(np.int32)),
+        attention_mask=jnp.ones((1, len(ids)), jnp.int32),
+        pixel_values=(
+            jnp.asarray(pixel_values[None]) if pixel_values is not None else None
+        ),
+        pixel_mask=(
+            jnp.ones((1, pixel_values.shape[0]), jnp.int32)
+            if pixel_values is not None else None
+        ),
+    )
+    out = greedy_generate(
+        params, cfg, batch, max_new_tokens=max_new,
+        eos_token_id=tk.eos_token_id, pad_token_id=tk.pad_token_id,
+        shift=shift, logz2="masked",
+    )
+    toks = [int(t) for t in np.asarray(out.tokens)[0]]
+    if tk.eos_token_id in toks:
+        toks = toks[: toks.index(tk.eos_token_id)]
+    return toks
+
+
+class TestServeEngine:
+    def test_mixed_lengths_match_static_greedy(self):
+        cfg, params, tk = _model("text")
+        rng = np.random.default_rng(0)
+        lengths = [5, 11, 17, 26, 9, 30]
+        prompts = [
+            rng.integers(4, 250, size=(n,)).astype(np.int32) for n in lengths
+        ]
+        max_new = 6
+
+        # 3 slots < 6 requests: forces retirement + mid-flight admission
+        eng = ServeEngine(
+            cfg, params, num_slots=3, max_len=64,
+            prefill_buckets=(8, 16, 32), decode_block=2,
+        )
+        for i, p in enumerate(prompts):
+            eng.submit(ServeRequest(uid=i, input_ids=p, max_new_tokens=max_new))
+        results = eng.run()
+        assert [r.uid for r in results] == list(range(len(prompts)))
+
+        for r, p in zip(results, prompts):
+            expect = _static_greedy(cfg, params, tk, p, max_new)
+            assert r.tokens == expect, (r.uid, r.tokens, expect)
+
+    def test_images_match_static_greedy(self):
+        cfg, params, tk = _model("idefics2")
+        rng = np.random.default_rng(1)
+        prompts, images = [], []
+        for n in (7, 13):
+            ids = rng.integers(4, 250, size=(n,)).astype(np.int32)
+            ids[1 : 1 + cfg.image_seq_len] = cfg.image_token_id
+            prompts.append(ids)
+            images.append(
+                rng.normal(size=(1, 28, 28, 3)).astype(np.float32)
+            )
+        eng = ServeEngine(
+            cfg, params, num_slots=2, max_len=48, prefill_buckets=(16,),
+            decode_block=3,
+        )
+        for i, (p, im) in enumerate(zip(prompts, images)):
+            eng.submit(
+                ServeRequest(uid=i, input_ids=p, pixel_values=im, max_new_tokens=5)
+            )
+        results = eng.run()
+        for r, p, im in zip(results, prompts, images):
+            expect = _static_greedy(cfg, params, tk, p, 5, pixel_values=im)
+            assert r.tokens == expect
+
+    def test_shift_active(self):
+        cfg, params, tk = _model("text")
+        enc, _ = get_preset("mimic")
+        shift = init_shift_params(enc, cfg.text, jax.random.PRNGKey(3))
+        shift = jax.tree.map(
+            lambda x: x + 0.05 * jnp.ones_like(x), shift["shift"]
+            if "shift" in shift else shift
+        )
+        rng = np.random.default_rng(2)
+        p = rng.integers(4, 250, size=(9,)).astype(np.int32)
+        eng = ServeEngine(
+            cfg, params, num_slots=2, max_len=48, prefill_buckets=(16,),
+            shift=shift,
+        )
+        eng.submit(ServeRequest(uid=0, input_ids=p, max_new_tokens=5))
+        (res,) = eng.run()
+        expect = _static_greedy(cfg, params, tk, p, 5, shift=shift)
+        assert res.tokens == expect
+        # and the shift actually changes the output vs no-shift
+        plain = _static_greedy(cfg, params, tk, p, 5)
+        if plain == expect:
+            pytest.skip("shift too small to change argmax on this seed")
+
+    def test_capacity_guard(self):
+        cfg, params, tk = _model("text")
+        eng = ServeEngine(cfg, params, num_slots=1, max_len=20, prefill_buckets=(16,))
+        with pytest.raises(ValueError, match="capacity"):
+            eng.submit(
+                ServeRequest(
+                    uid=0, input_ids=np.arange(4, 10, dtype=np.int32),
+                    max_new_tokens=8,
+                )
+            )
