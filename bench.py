@@ -129,13 +129,29 @@ def measure_train_mfu():
 
     lowered = step.lower(state, params, batch)
     compiled = lowered.compile()
-    flops = None
-    try:
-        ca = compiled.cost_analysis()
-        ca = ca[0] if isinstance(ca, (list, tuple)) else ca
-        flops = float(ca.get("flops", 0.0)) or None
-    except Exception:
-        pass
+
+    # Analytic model FLOPs (XLA's compiled cost_analysis undercounts ~20× on
+    # the axon TPU backend — it reports 0.62 TFLOP for this step; the matmul
+    # arithmetic below reproduces BASELINE.md's hand-derived ≈13 TFLOP):
+    #   record pass: forward only (no grad) over B·T_rec tokens
+    #   shift pass:  forward + input-gradient backward (frozen weights — no dW)
+    #   attention:   2 matmuls/layer at T²/2 (causal)  → 2·B·H·T²·Dh
+    #   lm_head:     only the M gathered query rows per sample, both passes
+    D, H, Dh = text.hidden_size, text.num_heads, text.head_size
+    Hkv, F, L, V = (
+        text.num_kv_heads, text.intermediate_size, text.num_layers,
+        text.vocab_size,
+    )
+    p_matmul = L * (D * (H * Dh + 2 * Hkv * Dh) + H * Dh * D + 3 * D * F)
+
+    def fwd_flops(tokens, t_ctx):
+        return 2 * p_matmul * tokens + L * 2 * tokens * t_ctx * H * Dh
+
+    flops = (
+        fwd_flops(B * T_rec, T_rec)
+        + 2 * fwd_flops(B * T_shift, T_shift)  # shift fwd + dX backward (no dW)
+        + 2 * (2 * M * B * D * V)              # lm_head rows, both passes
+    )
 
     def sync(metrics):
         return float(np.asarray(metrics["loss"]))

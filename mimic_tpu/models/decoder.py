@@ -447,11 +447,17 @@ def decoder_forward(
         residual = h
         hn = rms_norm(h, lp["post_ln"], cfg.norm_eps)
         if "gateup_proj" in lp:
-            from ..ops.quant import qdot
+            from ..ops.quant import fused_mlp, qdot
 
-            gu = qdot(hn, lp["gateup_proj"])
-            F = gu.shape[-1] // 2
-            ffn_out = qdot(jax.nn.silu(gu[..., :F]) * gu[..., F:], lp["down_proj"])
+            # decode-sized M on TPU: the whole SwiGLU MLP in one Pallas call
+            # (gate/up/down blocks stream once; no [M,2F] HBM round trip)
+            ffn_out = fused_mlp(hn, lp["gateup_proj"], lp["down_proj"])
+            if ffn_out is None:
+                gu = qdot(hn, lp["gateup_proj"])
+                F = gu.shape[-1] // 2
+                ffn_out = qdot(
+                    jax.nn.silu(gu[..., :F]) * gu[..., F:], lp["down_proj"]
+                )
         else:
             ffn_out = swiglu_mlp(hn, lp["gate_proj"], lp["up_proj"], lp["down_proj"])
         ffn_out = apply_output_shift(ffn_out, os_.get("ffn_shift"), os_.get("ffn_scale"))

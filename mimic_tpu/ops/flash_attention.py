@@ -45,6 +45,7 @@ def _pick_block(n: int, cap: int) -> int:
 
 
 def _kernel(
+    bvalid_ref,   # [B, S/bk] int32 (SMEM, unblocked): per-(b, jk) any-valid flag
     kmask_ref,    # [1, 1, bk] int32
     q_ref,        # [1, 1, bq, D]
     k_ref,        # [1, 1, bk, D]
@@ -61,6 +62,7 @@ def _kernel(
     scale: float,
     causal: bool,
     need_unmasked: bool,
+    fast_softmax: bool,
 ):
     bq, d = q_ref.shape[2], q_ref.shape[3]
     bk = k_ref.shape[2]
@@ -78,13 +80,17 @@ def _kernel(
 
     q_start = jq * bq
     ks = jk * bk
-    # blocks strictly above the causal diagonal contribute nothing masked
-    block_needed = jnp.logical_or(
-        jnp.logical_not(causal), ks <= q_start + bq - 1
+    # blocks strictly above the causal diagonal contribute nothing masked;
+    # blocks whose key mask is entirely zero contribute nothing either
+    # (variable-aspect vision: a 980×735 image leaves ~28% of key blocks fully
+    # padded — the host precomputes per-(b, block) validity)
+    block_needed = jnp.logical_and(
+        jnp.logical_or(jnp.logical_not(causal), ks <= q_start + bq - 1),
+        bvalid_ref[pl.program_id(0), jk] > 0,
     )
 
     # with the unmasked lse required, every block must be visited; otherwise
-    # whole blocks above the causal diagonal are skipped
+    # whole masked-out / above-diagonal blocks are skipped
     compute_pred = (
         jnp.asarray(True) if need_unmasked else block_needed
     )
@@ -121,9 +127,18 @@ def _kernel(
                 masked = jnp.where(rows >= cols, masked, NEG)
             m = m_scr[:, 0]
             m_new = jnp.maximum(m, jnp.max(masked, axis=-1))
-            p = jnp.exp(masked - m_new[:, None])
+            if fast_softmax:
+                # serving mode: evaluate exp at bf16 precision (the VPU
+                # transcendental is the roofline on D-72 vision shapes); the
+                # running sum/accumulator stay fp32.  Probability rel-error
+                # ~2⁻⁸ — same magnitude as the bf16 output rounding.
+                p = jnp.exp((masked - m_new[:, None]).astype(jnp.bfloat16))
+                p_sum = jnp.sum(p.astype(jnp.float32), axis=-1)
+            else:
+                p = jnp.exp(masked - m_new[:, None])
+                p_sum = jnp.sum(p, axis=-1)
             alpha = jnp.exp(m - m_new)
-            l_scr[:, 0] = l_scr[:, 0] * alpha + jnp.sum(p, axis=-1)
+            l_scr[:, 0] = l_scr[:, 0] * alpha + p_sum
             v_blk = v_ref[0, 0]
             acc_scr[:] = acc_scr[:] * alpha[:, None] + jax.lax.dot_general(
                 p.astype(v_blk.dtype), v_blk, (((1,), (0,)), ((), ())),
@@ -155,11 +170,19 @@ def flash_attention(
     block_k: int = DEFAULT_BK,
     need_unmasked: bool = True,
     interpret: bool = False,
+    fast_softmax: bool = False,
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Returns (out [B,T,H,D], lse [B,T,H], lse_unmasked [B,T,H]).
 
     T and S must be divisible by the block sizes (the input pipeline buckets to
     multiples of 128); D should be 128-aligned for MXU efficiency.
+
+    ``fast_softmax=True`` (opt-in, serving): the probability exp runs at bf16
+    precision — the VPU transcendental roofline on vision shapes — with fp32
+    max/denominator/accumulator kept.  Not used on any parity path.
+
+    Fully-masked key blocks are skipped exactly: the per-(batch, key-block)
+    validity table is reduced from ``key_mask`` outside the kernel.
     """
     B, T, H, D = q.shape
     S, Hkv = k.shape[1], k.shape[2]
@@ -179,12 +202,21 @@ def flash_attention(
     kt = k.transpose(0, 2, 1, 3)
     vt = v.transpose(0, 2, 1, 3)
 
+    kmask_i32 = key_mask.astype(jnp.int32)
+    block_valid = jnp.max(kmask_i32.reshape(B, S // bk, bk), axis=-1)  # [B, S/bk]
+
     grid = (B, H, T // bq, S // bk)
-    kernel = functools.partial(_kernel, scale=scale, causal=causal, need_unmasked=need_unmasked)
+    kernel = functools.partial(
+        _kernel, scale=scale, causal=causal, need_unmasked=need_unmasked,
+        fast_softmax=fast_softmax,
+    )
     out, lse, lse_u = pl.pallas_call(
         kernel,
         grid=grid,
         in_specs=[
+            # whole [B, S/bk] table in SMEM (Mosaic rejects sub-(8,128) blocks;
+            # the kernel indexes it by (program_id(0), jk))
+            pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec((1, 1, bk), lambda b, h, jq, jk: (b, 0, jk)),
             pl.BlockSpec((1, 1, bq, D), lambda b, h, jq, jk: (b, h, jq, 0)),
             pl.BlockSpec((1, 1, bk, D), lambda b, h, jq, jk: (b, h // groups, jk, 0)),
@@ -208,7 +240,7 @@ def flash_attention(
             pltpu.VMEM((bq, 1), jnp.float32),
         ],
         interpret=interpret,
-    )(key_mask.astype(jnp.int32)[:, None, :], qt, kt, vt)
+    )(block_valid, kmask_i32[:, None, :], qt, kt, vt)
 
     return (
         out.transpose(0, 2, 1, 3),

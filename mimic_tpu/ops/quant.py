@@ -287,6 +287,141 @@ def int8_matmul_stacked(
     )(jnp.atleast_1d(layer).astype(jnp.int32), x, wq, scale[:, None, :])
 
 
+def _mlp_kernel(l_ref, xn_ref, g_ref, u_ref, sg_ref, su_ref, d_ref, sd_ref,
+                o_ref, acc_ref):
+    """One F-block of the fused SwiGLU MLP: silu(x·Wg)·(x·Wu) @ Wd, accumulated.
+
+    Per grid step the three int8 weight blocks (gate, up, down-rows) stream
+    HBM→VMEM once and convert to the activation dtype in VMEM; the [M,2F]
+    gate/up intermediate never exists in HBM.  gate/up scales apply before the
+    nonlinearity (per-column, exact); the down scale is per OUTPUT column so it
+    factors out of the F-sum and applies once at the end.
+    """
+    j = pl.program_id(0)
+
+    @pl.when(j == 0)
+    def _init():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    xn = xn_ref[:]
+    g = jax.lax.dot_general(
+        xn, g_ref[0].astype(xn.dtype), (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ) * sg_ref[0].astype(jnp.float32)
+    u = jax.lax.dot_general(
+        xn, u_ref[0].astype(xn.dtype), (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ) * su_ref[0].astype(jnp.float32)
+    a = (jax.nn.silu(g) * u).astype(xn.dtype)
+    acc_ref[:] += jax.lax.dot_general(
+        a, d_ref[0].astype(xn.dtype), (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+
+    @pl.when(j == pl.num_programs(0) - 1)
+    def _finalize():
+        o_ref[:] = (acc_ref[:] * sd_ref[0].astype(jnp.float32)).astype(o_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("out_dtype", "block_f", "interpret"))
+def fused_mlp_stacked(
+    xn: jnp.ndarray,        # [M, D] normed activations
+    gu_q8: jnp.ndarray,     # [L, D, 2F] int8 (fused gate|up)
+    gu_scale: jnp.ndarray,  # [L, 2F] f32
+    down_q8: jnp.ndarray,   # [L, F, D] int8
+    down_scale: jnp.ndarray,  # [L, D] f32
+    layer: jnp.ndarray,     # scalar int32
+    out_dtype=None,
+    block_f: int = 0,       # 0 = auto by VMEM budget
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Whole SwiGLU MLP of one stacked layer in ONE kernel call.
+
+    ``silu(xn @ Wg) * (xn @ Wu) @ Wd`` with all three weights int8-streamed.
+    vs the two-call path (gateup matmul → XLA silu·mul → down matmul) this
+    saves one kernel-call overhead, the [M,2F] HBM round trip, and overlaps the
+    down-projection of block j with the gate/up DMA of block j+1.
+    """
+    M, D = xn.shape
+    L, _, F2 = gu_q8.shape
+    F = F2 // 2
+    out_dtype = out_dtype or xn.dtype
+    if not block_f:
+        # 3 int8 blocks of D·bf bytes each, double-buffered, + [M,D] f32 acc
+        block_f = 512 if 6 * D * 512 + M * D * 6 <= 12 * 1024 * 1024 else 256
+    bf = _pick_block(F, block_f)
+    grid = (F // bf,)
+    nb = F // bf  # up-half block offset (F = nb·bf)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((M, D), lambda j, l: (0, 0)),
+            pl.BlockSpec((1, D, bf), lambda j, l: (l[0], 0, j)),          # gate
+            pl.BlockSpec((1, D, bf), lambda j, l: (l[0], 0, nb + j)),     # up
+            pl.BlockSpec((1, 1, bf), lambda j, l: (l[0], 0, j)),
+            pl.BlockSpec((1, 1, bf), lambda j, l: (l[0], 0, nb + j)),
+            pl.BlockSpec((1, bf, D), lambda j, l: (l[0], j, 0)),          # down
+            pl.BlockSpec((1, 1, D), lambda j, l: (l[0], 0, 0)),
+        ],
+        out_specs=pl.BlockSpec((M, D), lambda j, l: (0, 0)),
+        scratch_shapes=[pltpu.VMEM((M, D), jnp.float32)],
+    )
+    return pl.pallas_call(
+        _mlp_kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((M, D), out_dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",)
+        ),
+        interpret=interpret,
+    )(
+        jnp.atleast_1d(layer).astype(jnp.int32),
+        xn,
+        gu_q8, gu_q8,
+        gu_scale[:, None, :], gu_scale[:, None, :],
+        down_q8,
+        down_scale[:, None, :],
+    )
+
+
+def fused_mlp(xn: jnp.ndarray, gateup: Any, down: Any) -> Optional[jnp.ndarray]:
+    """SwiGLU MLP through one fused kernel when eligible, else ``None``.
+
+    Eligible: both weights are stacked quantized handles (carry a ``layer``
+    index), running on TPU, decode-sized M (< 256 rows — prefill-sized M is
+    compute-bound and takes the dequant+XLA-dot path in ``qdot``), no lane
+    padding on either weight, and F block-alignable.
+    """
+    if not (is_quantized(gateup) and is_quantized(down)):
+        return None
+    if gateup.get("layer") is None or down.get("layer") is None:
+        return None
+    lead = xn.shape[:-1]
+    D = xn.shape[-1]
+    xm = xn.reshape(-1, D)
+    M = xm.shape[0]
+    if jax.default_backend() != "tpu" or M >= 256:
+        return None
+    gu_q8, gu_scale = gateup["q8"], gateup["scale"]
+    d_q8, d_scale = down["q8"], down["scale"]
+    if gu_q8.shape[-1] != gu_scale.shape[-1] or d_q8.shape[-1] != d_scale.shape[-1]:
+        return None  # lane-padded storage: interior pad columns break the split
+    F = gu_q8.shape[-1] // 2
+    if d_q8.shape[-2] != F or F % 256 != 0:
+        return None
+    m_pad = _round_up(max(M, 16), 16) - M
+    if m_pad:
+        xm = jnp.pad(xm, ((0, m_pad), (0, 0)))
+    out = fused_mlp_stacked(
+        xm, gu_q8, gu_scale.astype(jnp.float32), d_q8,
+        d_scale.astype(jnp.float32), gateup["layer"], out_dtype=xn.dtype,
+    )
+    if m_pad:
+        out = out[:M]
+    return out.reshape(*lead, D)
+
+
 def qdot(
     x: jnp.ndarray,
     w: Any,

@@ -51,6 +51,45 @@ def test_matches_reference(causal):
     np.testing.assert_allclose(np.asarray(lse_u), np.asarray(ref_lse_u), rtol=1e-5, atol=1e-5)
 
 
+@pytest.mark.parametrize("causal", [True, False])
+def test_fully_masked_key_blocks_skipped_exactly(causal):
+    # a whole 64-wide key block masked out (variable-aspect vision padding):
+    # the kernel skips it and valid rows match the reference bit-for-tolerance
+    q, k, v, key_mask = make_qkv(T=128, S=192)
+    km = np.asarray(key_mask)
+    km = np.pad(km, ((0, 0), (0, 192 - km.shape[1])), constant_values=0)
+    km[:, 64:128] = 0  # interior block fully masked
+    key_mask = jnp.asarray(km)
+    out, lse, _ = flash_attention(
+        q, k, v, key_mask, causal=causal, block_q=64, block_k=64, interpret=True
+    )
+    ref_out, ref_lse, _ = reference(q, k, v, key_mask, causal)
+    valid = np.asarray(ref_lse) > -1e29
+    np.testing.assert_allclose(
+        np.asarray(out)[valid.any(-1)], np.asarray(ref_out)[valid.any(-1)],
+        rtol=2e-5, atol=2e-5,
+    )
+    np.testing.assert_allclose(
+        np.asarray(lse)[valid], np.asarray(ref_lse)[valid], rtol=1e-5, atol=1e-5
+    )
+
+
+def test_fast_softmax_error_bound():
+    # serving-mode bf16-exp softmax: probabilities carry ~2⁻⁸ relative error;
+    # the attention output must stay within ~1% of the exact path
+    q, k, v, key_mask = make_qkv(T=128, S=128)
+    exact, _, _ = flash_attention(
+        q, k, v, key_mask, causal=False, block_q=64, block_k=64, interpret=True
+    )
+    fast, _, _ = flash_attention(
+        q, k, v, key_mask, causal=False, block_q=64, block_k=64, interpret=True,
+        fast_softmax=True,
+    )
+    err = np.abs(np.asarray(fast) - np.asarray(exact))
+    scale = np.abs(np.asarray(exact)).max()
+    assert err.max() / scale < 2e-2, err.max() / scale
+
+
 def test_rectangular_blocks():
     q, k, v, key_mask = make_qkv(T=256, S=256)
     out, lse, lse_u = flash_attention(

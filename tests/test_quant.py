@@ -228,6 +228,42 @@ class TestInt8MatmulStacked:
                 np.asarray(out), np.asarray(ref), rtol=5e-4, atol=1e-4
             )
 
+    def test_fused_mlp_interpret_matches_reference(self):
+        # one-kernel SwiGLU MLP == silu(x@Wg)·(x@Wu) @ Wd on dequantized weights
+        from mimic_tpu.ops.quant import fused_mlp_stacked
+
+        L, M, D, F = 2, 16, 128, 512
+        kx, kg, kd = jax.random.split(jax.random.PRNGKey(20), 3)
+        x = jax.random.normal(kx, (M, D), jnp.float32)
+        gu = jax.random.normal(kg, (L, D, 2 * F), jnp.float32)
+        down = jax.random.normal(kd, (L, F, D), jnp.float32) / np.sqrt(F)
+        qgu, qdown = quantize_weight(gu), quantize_weight(down)
+        for l in range(L):
+            out = fused_mlp_stacked(
+                x, qgu["q8"], qgu["scale"], qdown["q8"], qdown["scale"],
+                jnp.int32(l), block_f=256, interpret=True,
+            )
+            g = x @ _dequant(qgu)[l][:, :F]
+            u = x @ _dequant(qgu)[l][:, F:]
+            ref = (jax.nn.silu(g) * u) @ _dequant(qdown)[l]
+            np.testing.assert_allclose(
+                np.asarray(out), np.asarray(ref), rtol=5e-3, atol=5e-3
+            )
+
+    def test_fused_mlp_dispatch_requires_stacked_tpu(self):
+        # the dispatcher declines off-TPU / unstacked handles — decoder falls
+        # back to the two-qdot path, so CPU CI still covers the math
+        from mimic_tpu.ops.quant import fused_mlp
+
+        gu = quantize_weight(jnp.ones((2, 64, 512)))
+        down = quantize_weight(jnp.ones((2, 256, 64)))
+        x = jnp.ones((4, 64))
+        assert fused_mlp(x, gu, down) is None  # no layer index
+        h_gu = {**gu, "layer": jnp.int32(0)}
+        h_down = {**down, "layer": jnp.int32(0)}
+        if jax.default_backend() != "tpu":
+            assert fused_mlp(x, h_gu, h_down) is None
+
     def test_qdot_stacked_handle_fallback(self):
         w = jax.random.normal(jax.random.PRNGKey(10), (4, 64, 128))
         q = quantize_weight(w)

@@ -155,6 +155,36 @@ def test_qdot_compiled_matches_dequant():
         assert np.abs(got - want).max() / denom < 3e-2, f"layer={layer}"
 
 
+@requires_tpu
+def test_fused_mlp_compiled_matches_reference():
+    """One-kernel SwiGLU MLP (compiled Mosaic) == dequant two-matmul reference."""
+    from mimic_tpu.ops.quant import fused_mlp, quantize_weight
+
+    rng = np.random.default_rng(1)
+    L, M, D, F = 2, 48, 256, 1024
+    x = jnp.asarray(rng.normal(size=(M, D)), jnp.bfloat16)
+    gu = quantize_weight(jnp.asarray(rng.normal(size=(L, D, 2 * F)), jnp.bfloat16))
+    down = quantize_weight(
+        jnp.asarray(rng.normal(size=(L, F, D)) / np.sqrt(F), jnp.bfloat16)
+    )
+    for layer in (0, L - 1):
+        got = fused_mlp(
+            x, dict(gu, layer=jnp.int32(layer)), dict(down, layer=jnp.int32(layer))
+        )
+        assert got is not None, "fused path must engage on TPU at decode M"
+        xf = np.asarray(x, np.float32)
+        deq_gu = np.asarray(gu["q8"][layer], np.float32) * np.asarray(
+            gu["scale"][layer], np.float32
+        )
+        deq_d = np.asarray(down["q8"][layer], np.float32) * np.asarray(
+            down["scale"][layer], np.float32
+        )
+        g, u = xf @ deq_gu[:, :F], xf @ deq_gu[:, F:]
+        want = (g / (1 + np.exp(-g)) * u) @ deq_d
+        denom = max(np.abs(want).max(), 1.0)
+        assert np.abs(np.asarray(got, np.float32) - want).max() / denom < 3e-2
+
+
 def _text_cfg():
     from mimic_tpu.models.config import tiny_text
 
@@ -179,7 +209,10 @@ def test_train_step_flash_vs_xla():
     shift = init_shift_params(enc, cfg.text, jax.random.PRNGKey(1))
     trainable = {"shift": shift}
     tx = build_optimizer(
-        trainable, lr=peft.lr, weight_decay=1e-3, warmup_steps=2,
+        # warmup_steps=0: the schedule starts at lr=0 during warmup, so a
+        # single step with warmup would produce an exactly-zero update and
+        # the params-moved assert below would be vacuous-false
+        trainable, lr=peft.lr, weight_decay=1e-3, warmup_steps=0,
         total_steps=10, grad_clip=1.0,
     )
     B, T_rec, T_shift, M = 2, 256, 128, 16
