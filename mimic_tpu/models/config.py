@@ -70,10 +70,6 @@ class VisionConfig:
     # llava takes vision_feature_layer=-2: features leave the tower before the
     # final norm, so the post-layernorm is skipped entirely
     post_layernorm: bool = True
-    # serving-only (opt-in, never set on parity paths): evaluate the attention
-    # probability exp at bf16 precision in the Pallas kernel — the VPU
-    # transcendental is the vision-attention roofline (ops/flash_attention.py)
-    fast_softmax: bool = False
 
     @property
     def num_patches(self) -> int:

@@ -56,7 +56,6 @@ def build_model(
     params: Optional[Dict[str, Any]] = None,
     tokenizer=None,
     quant: Optional[str] = None,
-    fast_vision: bool = False,
 ) -> LVLMRunner:
     paths = paths or get_paths()
     cfg = get_model_config(model_name)
@@ -82,7 +81,4 @@ def build_model(
         image_size = 448
     if params is None:
         params = load_params(cfg, path, dtype=dtype)
-    return LVLMRunner(
-        cfg, params, tokenizer, image_size=image_size, quant=quant,
-        fast_vision=fast_vision,
-    )
+    return LVLMRunner(cfg, params, tokenizer, image_size=image_size, quant=quant)

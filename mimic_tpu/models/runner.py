@@ -50,16 +50,7 @@ class LVLMRunner:
         image_size: Optional[int] = None,
         length_buckets: tuple = (),
         quant: Optional[str] = None,
-        fast_vision: bool = False,
     ):
-        if fast_vision and cfg.vision is not None:
-            # serving mode: bf16-exp softmax in the vision tower (opt-in,
-            # like quant — never on by default, parity paths unaffected)
-            import dataclasses
-
-            cfg = cfg.replace(
-                vision=dataclasses.replace(cfg.vision, fast_softmax=True)
-            )
         self.cfg = cfg
         self.decode_params = None
         self.params = params

@@ -174,22 +174,15 @@ def vit_forward(
         q = (jnp.dot(hn, lp["q_proj"]) + lp["q_bias"]).reshape(B_, N, H, Dh)
         k = (jnp.dot(hn, lp["k_proj"]) + lp["k_bias"]).reshape(B_, N, H, Dh)
         v = (jnp.dot(hn, lp["v_proj"]) + lp["v_bias"]).reshape(B_, N, H, Dh)
-        if (
-            use_flash
-            and (N >= 2048 or cfg.fast_softmax)
-            and jax.default_backend() == "tpu"
-        ):
+        if use_flash and N >= 2048 and jax.default_backend() == "tpu":
             # large patch counts (e.g. idefics2-8b at 980px → 4900 patches):
             # XLA's dot_product_attention materializes the [B,H,N,N] f32 score
             # tensor (25.5 GB at B16 N4992 — OOM on a 16 GB chip); our Pallas
-            # flash kernel streams it blockwise.  With ``fast_softmax`` the
-            # kernel also takes the small-N shapes (bf16 exp beats XLA's fused
-            # attention there).
+            # flash kernel streams it blockwise
             from ..ops.flash_attention import flash_attention
 
             attn, _, _ = flash_attention(
-                q, k, v, flash_kmask, causal=False, need_unmasked=False,
-                fast_softmax=cfg.fast_softmax,
+                q, k, v, flash_kmask, causal=False, need_unmasked=False
             )
         elif use_flash:
             # XLA's fused attention on the 128-aligned padded sequence: the ViT

@@ -31,6 +31,11 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 NEG = -1.0e30
+LOG2E = 1.4426950408889634  # scores are kept in the log2 domain inside the
+# kernel: exp(x) = exp2(x·log2e), and the VPU's exp lowers to exactly that —
+# folding log2e into the q prescale removes one multiply per score element
+# (the softmax VPU path is the roofline on ViT D-72 shapes)
+LN2 = 0.6931471805599453
 
 DEFAULT_BQ = 512
 DEFAULT_BK = 1024
@@ -62,7 +67,7 @@ def _kernel(
     scale: float,
     causal: bool,
     need_unmasked: bool,
-    fast_softmax: bool,
+    mask_in_scores: bool,
 ):
     bq, d = q_ref.shape[2], q_ref.shape[3]
     bk = k_ref.shape[2]
@@ -112,33 +117,30 @@ def _kernel(
             # unmasked running pair (log Z₂ parity: no masks)
             m_u = mu_scr[:, 0]
             m_u_new = jnp.maximum(m_u, jnp.max(s, axis=-1))
-            lu_scr[:, 0] = lu_scr[:, 0] * jnp.exp(m_u - m_u_new) + jnp.sum(
-                jnp.exp(s - m_u_new[:, None]), axis=-1
+            lu_scr[:, 0] = lu_scr[:, 0] * jnp.exp2(m_u - m_u_new) + jnp.sum(
+                jnp.exp2(s - m_u_new[:, None]), axis=-1
             )
             mu_scr[:, 0] = m_u_new
 
         @pl.when(block_needed)
         def _masked():
-            kmask = kmask_ref[0, 0, :] > 0
-            masked = jnp.where(kmask[None, :], s, NEG)
+            if mask_in_scores:
+                # the key-padding mask rode the MXU: the wrapper appended a
+                # q=1/k∈{0,NEG} column in the (free) D-padding lanes, so masked
+                # scores already sit at NEG — no select, no kmask load
+                masked = s
+            else:
+                kmask = kmask_ref[0, 0, :] > 0
+                masked = jnp.where(kmask[None, :], s, NEG)
             if causal:
                 rows = q_start + jax.lax.broadcasted_iota(jnp.int32, (bq, bk), 0)
                 cols = ks + jax.lax.broadcasted_iota(jnp.int32, (bq, bk), 1)
                 masked = jnp.where(rows >= cols, masked, NEG)
             m = m_scr[:, 0]
             m_new = jnp.maximum(m, jnp.max(masked, axis=-1))
-            if fast_softmax:
-                # serving mode: evaluate exp at bf16 precision (the VPU
-                # transcendental is the roofline on D-72 vision shapes); the
-                # running sum/accumulator stay fp32.  Probability rel-error
-                # ~2⁻⁸ — same magnitude as the bf16 output rounding.
-                p = jnp.exp((masked - m_new[:, None]).astype(jnp.bfloat16))
-                p_sum = jnp.sum(p.astype(jnp.float32), axis=-1)
-            else:
-                p = jnp.exp(masked - m_new[:, None])
-                p_sum = jnp.sum(p, axis=-1)
-            alpha = jnp.exp(m - m_new)
-            l_scr[:, 0] = l_scr[:, 0] * alpha + p_sum
+            p = jnp.exp2(masked - m_new[:, None])
+            alpha = jnp.exp2(m - m_new)
+            l_scr[:, 0] = l_scr[:, 0] * alpha + jnp.sum(p, axis=-1)
             v_blk = v_ref[0, 0]
             acc_scr[:] = acc_scr[:] * alpha[:, None] + jax.lax.dot_general(
                 p.astype(v_blk.dtype), v_blk, (((1,), (0,)), ((), ())),
@@ -148,12 +150,14 @@ def _kernel(
 
     @pl.when(jk == n_kv - 1)
     def _finalize():
+        # running pairs live in the log2 domain (q was prescaled by ·log2e);
+        # emitted log-normalizers convert back to ln
         l_safe = jnp.maximum(l_scr[:, 0], 1e-30)
         o_ref[0, 0] = (acc_scr[:] / l_safe[:, None]).astype(o_ref.dtype)
-        lse_ref[0, 0] = (m_scr[:, 0] + jnp.log(l_safe))[:, None]
+        lse_ref[0, 0] = ((m_scr[:, 0] + jnp.log2(l_safe)) * LN2)[:, None]
         if need_unmasked:
             lse_u_ref[0, 0] = (
-                mu_scr[:, 0] + jnp.log(jnp.maximum(lu_scr[:, 0], 1e-30))
+                (mu_scr[:, 0] + jnp.log2(jnp.maximum(lu_scr[:, 0], 1e-30))) * LN2
             )[:, None]
         else:
             lse_u_ref[0, 0] = lse_ref[0, 0]
@@ -170,19 +174,27 @@ def flash_attention(
     block_k: int = DEFAULT_BK,
     need_unmasked: bool = True,
     interpret: bool = False,
-    fast_softmax: bool = False,
+    mask_in_scores: Optional[bool] = None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Returns (out [B,T,H,D], lse [B,T,H], lse_unmasked [B,T,H]).
 
     T and S must be divisible by the block sizes (the input pipeline buckets to
-    multiples of 128); D should be 128-aligned for MXU efficiency.
+    multiples of 128); D need not be 128-aligned (the MXU pads the contraction
+    internally — and when it does, the padding lanes are put to work, see
+    below).
 
-    ``fast_softmax=True`` (opt-in, serving): the probability exp runs at bf16
-    precision — the VPU transcendental roofline on vision shapes — with fp32
-    max/denominator/accumulator kept.  Not used on any parity path.
+    VPU-softmax-path economies (the softmax, not the matmuls, is the roofline
+    on ViT D-72 shapes — measured ~84 Gelem/s incl. exp on v5e):
 
-    Fully-masked key blocks are skipped exactly: the per-(batch, key-block)
-    validity table is reduced from ``key_mask`` outside the kernel.
+    - the score scale AND log2(e) fold into a one-pass q prescale; the kernel
+      runs its running max/denominator in the log2 domain with ``exp2`` (what
+      the VPU's exp lowers to anyway) and converts the emitted lse back to ln;
+    - when D is not a lane multiple and the unmasked lse isn't needed, the
+      key-padding mask rides the MXU for free: an extra q=1 / k∈{0,NEG} column
+      in the D-padding lanes lands masked scores at NEG straight out of the
+      matmul — the per-element select and the kmask load disappear;
+    - fully-masked key blocks are skipped exactly via a per-(batch, key-block)
+      validity table reduced from ``key_mask`` outside the kernel.
     """
     B, T, H, D = q.shape
     S, Hkv = k.shape[1], k.shape[2]
@@ -191,24 +203,41 @@ def flash_attention(
     bq = _pick_block(T, block_q)
     bk = _pick_block(S, block_k)
 
-    # fold the score scale into q (one [B,T,H,D] pass) instead of scaling every
-    # [bq,bk] score block in the kernel — on VPU-softmax-bound shapes (ViT
-    # D=72) the per-block multiply is ~8% of kernel time.  Matches torch SDPA,
-    # which also pre-scales q in the input dtype.
-    q = q * jnp.asarray(scale, q.dtype)
+    kmask_i32 = key_mask.astype(jnp.int32)
+    block_valid = jnp.max(kmask_i32.reshape(B, S // bk, bk), axis=-1)  # [B, S/bk]
+
+    # ride the MXU's D-padding: only when D isn't lane-aligned (the pad lanes
+    # are free) and the unmasked lse isn't required (it must not see the mask)
+    if mask_in_scores is None:
+        mask_in_scores = (not need_unmasked) and D % 128 != 0
+    mask_in_scores = mask_in_scores and not need_unmasked
+    Dp = D
+    if mask_in_scores:
+        # next lane multiple STRICTLY above D: even when D is lane-aligned
+        # (forced path) the mask column needs a real extra lane — clamped
+        # .at[..., D] writes would silently corrupt the last feature lane
+        Dp = (D // 128 + 1) * 128
+        mask_col = jnp.where(key_mask > 0, 0.0, NEG).astype(k.dtype)  # [B,S]
+        q = jnp.pad(q, ((0, 0), (0, 0), (0, 0), (0, Dp - D)))
+        q = q.at[..., D].set(1.0)
+        k = jnp.pad(k, ((0, 0), (0, 0), (0, 0), (0, Dp - D)))
+        k = k.at[..., D].set(mask_col[:, :, None])
+        v = jnp.pad(v, ((0, 0), (0, 0), (0, 0), (0, Dp - D)))
+
+    # fold the score scale (and log2e — the kernel softmax runs in the log2
+    # domain) into q with one [B,T,H,D] pass instead of per-score-block work.
+    # The mask column scales too: NEG·scale·log2e is still ≪ any real score.
+    q = q * jnp.asarray(scale * LOG2E, q.dtype)
     scale = 1.0
 
     qt = q.transpose(0, 2, 1, 3)  # [B,H,T,D]
     kt = k.transpose(0, 2, 1, 3)
     vt = v.transpose(0, 2, 1, 3)
 
-    kmask_i32 = key_mask.astype(jnp.int32)
-    block_valid = jnp.max(kmask_i32.reshape(B, S // bk, bk), axis=-1)  # [B, S/bk]
-
     grid = (B, H, T // bq, S // bk)
     kernel = functools.partial(
         _kernel, scale=scale, causal=causal, need_unmasked=need_unmasked,
-        fast_softmax=fast_softmax,
+        mask_in_scores=mask_in_scores,
     )
     out, lse, lse_u = pl.pallas_call(
         kernel,
@@ -218,30 +247,32 @@ def flash_attention(
             # the kernel indexes it by (program_id(0), jk))
             pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec((1, 1, bk), lambda b, h, jq, jk: (b, 0, jk)),
-            pl.BlockSpec((1, 1, bq, D), lambda b, h, jq, jk: (b, h, jq, 0)),
-            pl.BlockSpec((1, 1, bk, D), lambda b, h, jq, jk: (b, h // groups, jk, 0)),
-            pl.BlockSpec((1, 1, bk, D), lambda b, h, jq, jk: (b, h // groups, jk, 0)),
+            pl.BlockSpec((1, 1, bq, Dp), lambda b, h, jq, jk: (b, h, jq, 0)),
+            pl.BlockSpec((1, 1, bk, Dp), lambda b, h, jq, jk: (b, h // groups, jk, 0)),
+            pl.BlockSpec((1, 1, bk, Dp), lambda b, h, jq, jk: (b, h // groups, jk, 0)),
         ],
         out_specs=[
-            pl.BlockSpec((1, 1, bq, D), lambda b, h, jq, jk: (b, h, jq, 0)),
+            pl.BlockSpec((1, 1, bq, Dp), lambda b, h, jq, jk: (b, h, jq, 0)),
             pl.BlockSpec((1, 1, bq, 1), lambda b, h, jq, jk: (b, h, jq, 0)),
             pl.BlockSpec((1, 1, bq, 1), lambda b, h, jq, jk: (b, h, jq, 0)),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((B, H, T, D), q.dtype),
+            jax.ShapeDtypeStruct((B, H, T, Dp), q.dtype),
             jax.ShapeDtypeStruct((B, H, T, 1), jnp.float32),
             jax.ShapeDtypeStruct((B, H, T, 1), jnp.float32),
         ],
         scratch_shapes=[
             pltpu.VMEM((bq, 1), jnp.float32),
             pltpu.VMEM((bq, 1), jnp.float32),
-            pltpu.VMEM((bq, D), jnp.float32),
+            pltpu.VMEM((bq, Dp), jnp.float32),
             pltpu.VMEM((bq, 1), jnp.float32),
             pltpu.VMEM((bq, 1), jnp.float32),
         ],
         interpret=interpret,
     )(block_valid, kmask_i32[:, None, :], qt, kt, vt)
 
+    if mask_in_scores:
+        out = out[..., :D]
     return (
         out.transpose(0, 2, 1, 3),
         lse[..., 0].transpose(0, 2, 1),

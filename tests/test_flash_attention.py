@@ -74,20 +74,46 @@ def test_fully_masked_key_blocks_skipped_exactly(causal):
     )
 
 
-def test_fast_softmax_error_bound():
-    # serving-mode bf16-exp softmax: probabilities carry ~2⁻⁸ relative error;
-    # the attention output must stay within ~1% of the exact path
-    q, k, v, key_mask = make_qkv(T=128, S=128)
-    exact, _, _ = flash_attention(
-        q, k, v, key_mask, causal=False, block_q=64, block_k=64, interpret=True
+def test_mask_in_scores_path_matches_reference():
+    # need_unmasked=False + non-lane-aligned D: the key-padding mask rides the
+    # MXU in the D-padding lanes (vision-tower path) — outputs must match the
+    # masked reference exactly (to tolerance), with real padded keys present
+    q, k, v, key_mask = make_qkv(T=128, S=192)
+    km = np.asarray(key_mask)
+    km = np.pad(km, ((0, 0), (0, 192 - km.shape[1])), constant_values=0)
+    km[:, 150:] = 0  # padded tail (variable-aspect vision)
+    key_mask = jnp.asarray(km)
+    out, lse, _ = flash_attention(
+        q, k, v, key_mask, causal=False, block_q=64, block_k=64,
+        need_unmasked=False, interpret=True,
     )
-    fast, _, _ = flash_attention(
-        q, k, v, key_mask, causal=False, block_q=64, block_k=64, interpret=True,
-        fast_softmax=True,
+    ref_out, ref_lse, _ = reference(q, k, v, key_mask, causal=False)
+    np.testing.assert_allclose(
+        np.asarray(out), np.asarray(ref_out), rtol=2e-5, atol=2e-5
     )
-    err = np.abs(np.asarray(fast) - np.asarray(exact))
-    scale = np.abs(np.asarray(exact)).max()
-    assert err.max() / scale < 2e-2, err.max() / scale
+    np.testing.assert_allclose(
+        np.asarray(lse), np.asarray(ref_lse), rtol=1e-5, atol=1e-5
+    )
+
+
+def test_mask_in_scores_forced_with_lane_aligned_D():
+    # forcing mask_in_scores with D already lane-aligned must allocate a REAL
+    # extra lane block for the mask column (a clamped .at[..., D] write would
+    # silently corrupt the last feature lane)
+    q, k, v, key_mask = make_qkv(T=128, S=128, D=128)
+    out, lse, _ = flash_attention(
+        q, k, v, key_mask, causal=False, block_q=64, block_k=64,
+        need_unmasked=False, mask_in_scores=True, interpret=True,
+    )
+    ref_out, ref_lse, _ = reference(q, k, v, key_mask, causal=False)
+    valid = np.asarray(ref_lse) > -1e29
+    np.testing.assert_allclose(
+        np.asarray(out)[valid.any(-1)], np.asarray(ref_out)[valid.any(-1)],
+        rtol=2e-5, atol=2e-5,
+    )
+    np.testing.assert_allclose(
+        np.asarray(lse)[valid], np.asarray(ref_lse)[valid], rtol=1e-5, atol=1e-5
+    )
 
 
 def test_rectangular_blocks():
