@@ -174,22 +174,20 @@ def vit_forward(
         q = (jnp.dot(hn, lp["q_proj"]) + lp["q_bias"]).reshape(B_, N, H, Dh)
         k = (jnp.dot(hn, lp["k_proj"]) + lp["k_bias"]).reshape(B_, N, H, Dh)
         v = (jnp.dot(hn, lp["v_proj"]) + lp["v_bias"]).reshape(B_, N, H, Dh)
-        if use_flash and N >= 2048 and jax.default_backend() == "tpu":
-            # large patch counts (e.g. idefics2-8b at 980px → 4900 patches):
-            # XLA's dot_product_attention materializes the [B,H,N,N] f32 score
-            # tensor (25.5 GB at B16 N4992 — OOM on a 16 GB chip); our Pallas
-            # flash kernel streams it blockwise
+        if use_flash and jax.default_backend() == "tpu":
+            # Pallas attention at every patch count: short sequences (≤3k,
+            # e.g. 378px → 729→768 patches) dispatch to the one-shot kernel
+            # (13.7 ms/12L vs XLA fused 29.0 at B16 N768 D72 on v5e); large
+            # ones (idefics2-8b 980px → 4900→5120) stream through the flash
+            # kernel — XLA's dot_product_attention would materialize the
+            # [B,H,N,N] f32 score tensor (25.5 GB at B16 N4992, OOM on 16 GB)
             from ..ops.flash_attention import flash_attention
 
             attn, _, _ = flash_attention(
                 q, k, v, flash_kmask, causal=False, need_unmasked=False
             )
         elif use_flash:
-            # XLA's fused attention on the 128-aligned padded sequence: the ViT
-            # needs no logsumexp outputs (no shift here), and at these shapes
-            # (N≤1k, head_dim 72) it beats both our Pallas kernel (one program
-            # per batch×head, 53.6 ms full tower) and the unpadded einsum path
-            # (58.8 ms) — measured 50.5 ms on v5e
+            # non-TPU backends: XLA's fused attention on the padded sequence
             attn = jax.nn.dot_product_attention(
                 q, k, v, mask=(flash_kmask > 0)[:, None, None, :]
             )

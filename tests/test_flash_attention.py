@@ -184,3 +184,99 @@ def test_vit_large_patch_count_padding():
     out = V.vit_forward(params, cfg, px, patch_mask=pm, attn_impl="flash")
     np.testing.assert_allclose(
         np.asarray(out[0, :1250]), np.asarray(ref[0, :1250]), atol=3e-5)
+
+
+# ---------------------------------------------------------------------------
+# one-shot kernel (short sequences) + auto-dispatch
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize("causal", [True, False])
+@pytest.mark.parametrize("need_unmasked", [True, False])
+def test_onepass_matches_reference(causal, need_unmasked):
+    from mimic_tpu.ops.flash_attention import onepass_attention
+
+    q, k, v, key_mask = make_qkv()
+    out, lse, lse_u = onepass_attention(
+        q, k, v, key_mask, causal=causal, need_unmasked=need_unmasked,
+        interpret=True,
+    )
+    ref_out, ref_lse, ref_lse_u = reference(q, k, v, key_mask, causal)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref_out), atol=2e-5)
+    np.testing.assert_allclose(np.asarray(lse), np.asarray(ref_lse), atol=2e-5)
+    if need_unmasked:
+        np.testing.assert_allclose(
+            np.asarray(lse_u), np.asarray(ref_lse_u), atol=2e-5)
+
+
+def test_onepass_vit_head_size():
+    # D=72 (SigLIP): lane-misaligned head size through the select path
+    from mimic_tpu.ops.flash_attention import onepass_attention
+
+    q, k, v, key_mask = make_qkv(B=2, T=256, S=256, H=4, Hkv=4, D=72)
+    out, lse, _ = onepass_attention(
+        q, k, v, key_mask, causal=False, need_unmasked=False, interpret=True
+    )
+    ref_out, ref_lse, _ = reference(q, k, v, key_mask, False)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref_out), atol=2e-5)
+    np.testing.assert_allclose(np.asarray(lse), np.asarray(ref_lse), atol=2e-5)
+
+
+def test_onepass_mask_in_scores_column():
+    # forced mask-in-scores: the appended q=1/k∈{0,NEG} column must reproduce
+    # the key-padding mask exactly (the long-sequence flash regime's layout)
+    from mimic_tpu.ops.flash_attention import onepass_attention
+
+    q, k, v, key_mask = make_qkv(B=2, T=128, S=128, H=4, Hkv=2, D=72)
+    out, lse, _ = onepass_attention(
+        q, k, v, key_mask, causal=True, need_unmasked=False,
+        mask_in_scores=True, interpret=True,
+    )
+    ref_out, ref_lse, _ = reference(q, k, v, key_mask, True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref_out), atol=2e-5)
+    np.testing.assert_allclose(np.asarray(lse), np.asarray(ref_lse), atol=2e-5)
+
+
+def test_onepass_multi_query_blocks():
+    # T large enough that the fp32 score tile splits into several q blocks:
+    # causal offsets must track the block index
+    from mimic_tpu.ops.flash_attention import (
+        _ONEPASS_SCORE_BYTES, onepass_attention,
+    )
+
+    S = 2048
+    assert _ONEPASS_SCORE_BYTES // (4 * S) < S  # shapes actually split
+    q, k, v, key_mask = make_qkv(B=2, T=S, S=S, H=2, Hkv=1, D=32)
+    out, lse, lse_u = onepass_attention(
+        q, k, v, key_mask, causal=True, need_unmasked=True, interpret=True
+    )
+    ref_out, ref_lse, ref_lse_u = reference(q, k, v, key_mask, True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref_out), atol=2e-5)
+    np.testing.assert_allclose(np.asarray(lse), np.asarray(ref_lse), atol=2e-5)
+    np.testing.assert_allclose(np.asarray(lse_u), np.asarray(ref_lse_u), atol=2e-5)
+
+
+def test_flash_auto_dispatch_matches_pinned_blocks():
+    # default-block flash_attention at S<=ONEPASS_MAX_S dispatches to the
+    # one-shot kernel; results must match the pinned-block flash kernel
+    q, k, v, key_mask = make_qkv(B=2, T=512, S=512, H=4, Hkv=2, D=64, seed=3)
+    auto = flash_attention(q, k, v, key_mask, causal=True, interpret=True)
+    pinned = flash_attention(
+        q, k, v, key_mask, causal=True, block_q=128, block_k=128, interpret=True
+    )
+    for a, p in zip(auto, pinned):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(p), atol=2e-5)
+
+
+def test_flash_tiny_shape_xla_fallback_runs_on_cpu():
+    # below ONEPASS_MIN_ELEMS and not interpret: the pure-jnp fallback serves
+    # the kernel contract — runnable on any backend, same numbers
+    from mimic_tpu.ops.flash_attention import ONEPASS_MIN_ELEMS
+
+    q, k, v, key_mask = make_qkv(B=2, T=128, S=128, H=4, Hkv=2, D=64, seed=4)
+    assert 2 * 4 * 128 * 128 < ONEPASS_MIN_ELEMS
+    out, lse, lse_u = flash_attention(q, k, v, key_mask, causal=True)
+    ref_out, ref_lse, ref_lse_u = reference(q, k, v, key_mask, True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref_out), atol=2e-5)
+    np.testing.assert_allclose(np.asarray(lse), np.asarray(ref_lse), atol=2e-5)
+    np.testing.assert_allclose(np.asarray(lse_u), np.asarray(ref_lse_u), atol=2e-5)

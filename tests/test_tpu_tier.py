@@ -285,3 +285,31 @@ def test_beam_decode_flash_prefill():
     toks = np.asarray(res.tokens)
     assert toks.shape == (B, 6)
     assert (toks >= 0).all() and (toks < cfg.text.vocab_size).all()
+
+
+@requires_tpu
+@pytest.mark.parametrize("D", [128, 72])
+def test_onepass_forward_compiled(D):
+    """Compiled one-shot kernel (short-sequence dispatch target) == XLA sdpa,
+    including the lane-misaligned ViT head size."""
+    from mimic_tpu.ops.flash_attention import onepass_attention
+
+    q, k, v, key_mask = _qkv(D=D, Hkv=4)
+    out, lse, lse_u = jax.jit(
+        lambda *a: onepass_attention(*a, causal=(D == 128), need_unmasked=True)
+    )(q, k, v, key_mask)
+    ref_out, ref_lse, ref_lse_u = jax.jit(
+        lambda *a: _reference(*a, causal=(D == 128))
+    )(q, k, v, key_mask)
+    valid = np.asarray(ref_lse) > -1e29
+    np.testing.assert_allclose(
+        np.asarray(out, np.float32)[valid.any(-1)],
+        np.asarray(ref_out, np.float32)[valid.any(-1)],
+        rtol=5e-2, atol=5e-2,
+    )
+    np.testing.assert_allclose(
+        np.asarray(lse)[valid], np.asarray(ref_lse)[valid], rtol=2e-2, atol=2e-2
+    )
+    np.testing.assert_allclose(
+        np.asarray(lse_u), np.asarray(ref_lse_u), rtol=2e-2, atol=2e-2
+    )
