@@ -461,7 +461,11 @@ def qdot(
             out_dtype
         ).reshape(*lead, n)
     if jax.default_backend() == "tpu":
-        # sublane alignment: pad tiny/ragged M (decode rows) up to a 16-multiple
+        # sublane alignment: pad tiny/ragged M (decode rows) up to a 16-multiple.
+        # CRITICAL: the padded M must then be ONE m-block — otherwise the grid's
+        # m axis re-streams the whole weight stack once per m-block (measured:
+        # M=48 → bm=16 → every int8 byte fetched 3× per call; fixing this took
+        # the eval-protocol int8 serving mode from 70.2 to 74.6 q/s)
         m_pad = _round_up(max(M, 16), 16) - M
         if m_pad:
             xm = jnp.pad(xm, ((0, m_pad), (0, 0)))
@@ -470,17 +474,18 @@ def qdot(
             scale = jnp.pad(scale, pad)
         # measured on v5e (scripts/bench_quant_matmul.py sweep): wide blocks win;
         # big-N fused matmuls (gateup) additionally want the whole K per block
+        bm = xm.shape[0] if xm.shape[0] <= 512 else 512
         bn = 2048
         bk = 2048 if n_stored >= 8192 else 512
         if layer is not None:
             out = int8_matmul_stacked(
                 xm, wq, scale.astype(jnp.float32), layer, out_dtype=out_dtype,
-                block_n=bn, block_k=bk,
+                block_m=bm, block_n=bn, block_k=bk,
             )
         else:
             out = int8_matmul(
                 xm, wq, scale.astype(jnp.float32), out_dtype=out_dtype,
-                block_n=bn, block_k=bk,
+                block_m=bm, block_n=bn, block_k=bk,
             )
         if m_pad:
             out = out[:M]
