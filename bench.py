@@ -6,10 +6,12 @@ Measures on one TPU chip:
    idefics2-family model in bf16 under the reference eval protocol
    (``src/config/eval.yaml``: batch 16, num_beams 3, max_new_tokens 10, one
    image per query; random weights — throughput is weight-value independent);
-2. **qps_8b_int8** — the same protocol on the FULL idefics2-8b architecture
+2. **qps_int8_serving** — the same model/protocol in the int8 serving mode
+   (bf16 prefill + fused int8 decode copy; opt-in, not bit-parity);
+3. **qps_8b_int8** — the same protocol on the FULL idefics2-8b architecture
    (8.33B params, 980px images) served on this one 16 GB chip in int8-memory
    mode (``scripts/bench_8b_serving.py``; the reference needs a 40 GB GPU);
-3. **mfu** — the MimIC dual-pass train step (1.2B-scale text tower, record
+4. **mfu** — the MimIC dual-pass train step (1.2B-scale text tower, record
    T=2048 / shift T=256, batch 2) as model-FLOPs utilization against the v5e
    bf16 peak (197 TF/s), FLOPs taken from XLA's compiled cost analysis.
 
@@ -202,12 +204,16 @@ def main():
         patch_mask=jnp.ones((B, N, size // 14, size // 14), jnp.int32),
     )
 
-    run = lambda: beam_generate(
-        params, cfg, batch,
-        max_new_tokens=10, num_beams=3,
-        eos_token_id=tk.eos_token_id, pad_token_id=tk.pad_token_id,
-        attn_impl="flash",
-    )
+    def make_run(decode_params=None):
+        return lambda: beam_generate(
+            params, cfg, batch,
+            max_new_tokens=10, num_beams=3,
+            eos_token_id=tk.eos_token_id, pad_token_id=tk.pad_token_id,
+            attn_impl="flash",
+            decode_params=decode_params,
+        )
+
+    run = make_run()
 
     def sync(result) -> float:
         # device→host scalar pull: the only reliable sync on remote-tunnel
@@ -235,6 +241,24 @@ def main():
     sync(last)
     dt = max(time.perf_counter() - t0 - rtt, 1e-6)
     qps = B * iters / dt
+
+    # int8 serving mode (opt-in, not bit-parity): bf16 prefill + fused int8
+    # decode copy — the production single-chip serving configuration
+    qps_int8 = None
+    if jax.default_backend() == "tpu":
+        try:
+            from mimic_tpu.ops.quant import quantize_lm_params
+
+            run8 = make_run(quantize_lm_params(params))
+            sync(run8())
+            t0 = time.perf_counter()
+            for _ in range(iters):
+                last = run8()
+            sync(last)
+            qps_int8 = round(B * iters / max(time.perf_counter() - t0 - rtt, 1e-6), 3)
+            del run8
+        except Exception as e:
+            print(f"# int8 serving section failed: {type(e).__name__}: {e}", file=sys.stderr)
 
     # free the small model before the 8B build (it needs the HBM headroom)
     del params, batch, small, last, run
@@ -269,6 +293,7 @@ def main():
                 "vs_baseline": round(vs, 3),
                 "mfu": mfu_info.get("mfu") if mfu_info else None,
                 "extra_metrics": {
+                    "eval_query_throughput_int8_serving_mode": qps_int8,
                     "eval_query_throughput_idefics2_8b_int8_1chip": qps_8b,
                     "train_step_ms_1p2b_dualpass": (
                         mfu_info.get("step_ms") if mfu_info else None

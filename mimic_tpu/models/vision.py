@@ -152,11 +152,15 @@ def vit_forward(
     use_flash = attn_impl == "flash"
     flash_kmask = None
     if use_flash:
-        # large patch counts go through the Pallas kernel (see step below) —
-        # pad to a 1024-multiple there so the kernel gets 512/1024 blocks
-        # (4992 = 39×128 would force 384-blocks, where per-program overhead
-        # dominates: measured 113 → ~30 ms/layer at B16 N4992 D72 on v5e)
-        n_pad = (-n_tokens) % (1024 if n_tokens >= 2048 else 128)
+        # patch counts ≤8192 go through the one-shot kernel (bq=128), which
+        # only needs 128-aligned keys (4900 → 4992, not 5120 — 2.5% less
+        # softmax).  Beyond that the flash kernel takes over and wants
+        # 512/1024 blocks (4992 = 39×128 would force 384-blocks, where
+        # per-program overhead dominates: measured 113 → ~30 ms/layer).
+        from ..ops.flash_attention import ONEPASS_MAX_S_NONCAUSAL
+
+        n128 = n_tokens + (-n_tokens) % 128
+        n_pad = (-n_tokens) % (128 if n128 <= ONEPASS_MAX_S_NONCAUSAL else 1024)
         if n_pad:
             x = jnp.pad(x, ((0, 0), (0, n_pad), (0, 0)))
         if patch_mask is not None:

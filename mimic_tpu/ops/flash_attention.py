@@ -204,14 +204,21 @@ def flash_attention(
     # short key axes fit a whole attention row in VMEM, where the one-shot
     # kernel beats the flash running-pair machinery (measured v5e, 24-layer
     # towers: T=S=512 B16 GQA 28.9→12.6 ms; T=S=2048 B2 34.7→22.2 ms); tiny
-    # total work is fastest on the plain XLA path (T=S=256 B2: 7.8→4 ms est.)
+    # total work is fastest on the plain XLA path (T=S=256 B2: 7.8→4 ms est.).
+    # NON-causal rows (the vision towers) go one-shot up to S=8192: at bq=128
+    # the score tile stays ≤4 MB and the kernel beats flash 1.33× at the
+    # idefics2-8b 980px shape (29.7 vs 39.4 ms/layer, B16 H16 N5120 D72) —
+    # flash's diagonal skip buys nothing without causality, so its running-pair
+    # machinery is pure overhead there.  Causal keeps the lower cap: above it
+    # flash halves the visited blocks.
+    max_s = ONEPASS_MAX_S if causal else ONEPASS_MAX_S_NONCAUSAL
     if (
         mask_in_scores is None
         and block_q == DEFAULT_BQ
         and block_k == DEFAULT_BK
         and S % 128 == 0
         and T % 8 == 0
-        and S <= ONEPASS_MAX_S
+        and S <= max_s
     ):
         if B * H * T * S < ONEPASS_MIN_ELEMS and not interpret:
             return _sdpa_fallback(q, k, v, key_mask, causal, scale, need_unmasked)
@@ -367,6 +374,9 @@ def _onepass_kernel(
 
 # VMEM budget for the [bq, S] fp32 score tile (plus q/k/v blocks + headroom)
 ONEPASS_MAX_S = 3072
+# non-causal (vision) rows: bq shrinks to keep the tile ≤ _ONEPASS_SCORE_BYTES,
+# so longer key axes still fit (S=8192 → bq=128 → 4 MB tile)
+ONEPASS_MAX_S_NONCAUSAL = 8192
 _ONEPASS_SCORE_BYTES = 4 * 1024 * 1024
 # below this many score elements per call (B·H·T·S) the fixed kernel cost
 # (transposes + per-program setup) loses to a plain XLA softmax-attention
