@@ -316,14 +316,20 @@ def main():
 
 
 def _previous_value():
-    """Last recorded value from BENCH_r*.json, if the driver left any."""
+    """Last recorded value from BENCH_r*.json, if the driver left any.
+
+    The driver wraps our JSON line: {"n", "cmd", "rc", "tail", "parsed"} with
+    the emitted dict under "parsed" — accept both layouts.
+    """
     import glob
 
     best = None
     for path in sorted(glob.glob("BENCH_r*.json")):
         try:
             data = json.load(open(path))
-            if isinstance(data, dict) and "value" in data:
+            if isinstance(data, dict) and isinstance(data.get("parsed"), dict):
+                data = data["parsed"]
+            if isinstance(data, dict) and isinstance(data.get("value"), (int, float)):
                 best = data["value"]
         except Exception:
             pass

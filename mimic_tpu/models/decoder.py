@@ -239,6 +239,9 @@ def _self_attention(
             q, k, v, cache_k, cache_v, cache_len, gen_key_mask, key_mask_new,
             prompt_k=prompt_k, prompt_v=prompt_v, prompt_mask=prompt_mask,
             window=cfg.sliding_window,
+            # the second full reduce over every score part only matters when a
+            # shift consumes log Z₂ — the plain decode path skips it
+            need_unmasked=bool(ls) and logz2 == "unmasked",
         )
         if ls:
             log_z2 = lse if logz2 == "masked" else lse_u

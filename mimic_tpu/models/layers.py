@@ -123,6 +123,7 @@ def cached_attention(
     prompt_v: Optional[jnp.ndarray] = None,
     prompt_mask: Optional[jnp.ndarray] = None,  # [B0,Sp]
     window: Optional[int] = None,  # sliding-window size (Mistral), slot-indexed
+    need_unmasked: bool = True,
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Two-part attention for autoregressive decode/prefill with a KV cache.
 
@@ -196,7 +197,9 @@ def cached_attention(
     masked_cache = jnp.where(cache_mask, s_cache, NEG_INF)
     masked_new = jnp.where(new_mask, s_new, NEG_INF)
     parts = [masked_cache, masked_new]
-    u_parts = [jnp.where(written, s_cache, NEG_INF), s_new]
+    u_parts = (
+        [jnp.where(written, s_cache, NEG_INF), s_new] if need_unmasked else None
+    )
     if s_prompt is not None:
         unfold = lambda s: s.reshape(B0, Hkv, Kb, G, T, Sp).transpose(
             0, 2, 1, 3, 4, 5
@@ -210,7 +213,8 @@ def cached_attention(
             ) < window  # [T,Sp]
             pmask = pmask & win_prompt[None, None, None]
         parts.insert(0, jnp.where(pmask, s_prompt_b, NEG_INF))
-        u_parts.insert(0, s_prompt_b)  # prompt slots are all written
+        if need_unmasked:
+            u_parts.insert(0, s_prompt_b)  # prompt slots are all written
 
     all_scores = jnp.concatenate(parts, axis=-1)
     lse = jax.nn.logsumexp(all_scores, axis=-1)  # [B,Hkv,G,T]
@@ -239,8 +243,14 @@ def cached_attention(
     )
     out = out.reshape(B, T, H, D).astype(q.dtype)
 
-    # unmasked logsumexp over written slots + full current block
-    lse_u = jax.nn.logsumexp(jnp.concatenate(u_parts, axis=-1), axis=-1)
+    # unmasked logsumexp over written slots + full current block — only when
+    # a shift consumes it (MimIC log Z₂); the plain decode path skips the
+    # second full reduce over every score part
+    lse_u = (
+        jax.nn.logsumexp(jnp.concatenate(u_parts, axis=-1), axis=-1)
+        if need_unmasked
+        else lse
+    )
 
     def to_bth(x):
         return jnp.transpose(x.reshape(B, H, T), (0, 2, 1))
