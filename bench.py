@@ -9,8 +9,9 @@ Measures on one TPU chip:
 2. **qps_int8_serving** — the same model/protocol in the int8 serving mode
    (bf16 prefill + fused int8 decode copy; opt-in, not bit-parity);
 3. **qps_8b_int8** — the same protocol on the FULL idefics2-8b architecture
-   (8.33B params, 980px images) served on this one 16 GB chip in int8-memory
-   mode (``scripts/bench_8b_serving.py``; the reference needs a 40 GB GPU);
+   (8.33B params, 980px images) served on this one 16 GB chip in int8-w8a8
+   mode (single int8 copy + int8-MXU W8A8 text prefill;
+   ``scripts/bench_8b_serving.py``; the reference needs a 40 GB GPU);
 4. **mfu** — the MimIC dual-pass train step (1.2B-scale text tower, record
    T=2048 / shift T=256, batch 2) as model-FLOPs utilization against the v5e
    bf16 peak (197 TF/s), FLOPs taken from XLA's compiled cost analysis.
@@ -278,7 +279,7 @@ def main():
             sys.path.insert(0, os.path.join(os.path.dirname(__file__), "scripts"))
             from bench_8b_serving import run_8b_bench
 
-            qps_8b = round(run_8b_bench()["qps"], 3)
+            qps_8b = round(run_8b_bench(w8a8=True)["qps"], 3)
         except Exception as e:
             print(f"# 8B section failed: {type(e).__name__}: {e}", file=sys.stderr)
 

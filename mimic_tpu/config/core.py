@@ -137,8 +137,10 @@ class EvalConfig:
     # fold LoRA adapters into the weights before eval (peft merge_and_unload)
     merge_lora: bool = True
     dtype: str = "bfloat16"
-    # weight-only int8 serving mode (ops/quant.py): None (bit-parity default),
-    # "int8" (dual-copy: bf16 prefill + int8 decode), "int8-memory" (single copy)
+    # int8 serving mode (ops/quant.py): None (bit-parity default), "int8"
+    # (dual-copy: bf16 prefill + weight-only int8 decode), "int8-memory"
+    # (single weight-only copy), "int8-w8a8" (single copy + int8-MXU W8A8
+    # text prefill — fastest, least bit-parity)
     quant: Optional[str] = None
     generation: GenerationConfig = field(default_factory=GenerationConfig)
     data: DataConfig = field(default_factory=DataConfig)

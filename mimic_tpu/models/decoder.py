@@ -552,7 +552,7 @@ def decoder_forward(
             if lp_quant:
                 lp = dict(lp)
                 for name, qw in lp_quant.items():
-                    lp[name] = {"q8": qw["q8"], "scale": qw["scale"], "layer": idx_}
+                    lp[name] = dict(qw, layer=idx_)
             return layer_step(
                 h,
                 (

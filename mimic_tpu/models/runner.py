@@ -87,6 +87,13 @@ class LVLMRunner:
           matmul on the v5e microbench).  Extra HBM ≈ 0.5× the text tower.
         - ``"int8-memory"`` — single copy: everything (incl. prefill) reads int8
           weights; halves text-tower HBM at some prefill cost.
+        - ``"int8-w8a8"`` — single copy with the self-attention layer stacks
+          additionally marked for W8A8 prefill dispatch: compute-bound text
+          prefill matmuls run on the int8×int8 MXU with per-token activation
+          quantization (measured 1.16-1.42× per matmul at idefics2-8b prefill
+          shapes, ``ops/quant.py`` docstring).  Decode is identical to
+          ``"int8-memory"``.  Least bit-parity of the modes (activations
+          round too).
         - ``None`` — drop the int8 copy (bit-parity default).
 
         Not bit-identical to bf16; opt-in (reference is pure fp16 torch,
@@ -103,13 +110,16 @@ class LVLMRunner:
             if already:
                 raise ValueError("params already int8-quantized (int8-memory mode)")
             self.decode_params = quantize_lm_params(self.params)
-        elif quant == "int8-memory":
+        elif quant in ("int8-memory", "int8-w8a8"):
             self.decode_params = None
             if not already:
-                self.params = quantize_lm_params(self.params)
+                self.params = quantize_lm_params(
+                    self.params, act_quant=quant == "int8-w8a8"
+                )
         else:
             raise ValueError(
-                f"unknown quant mode {quant!r} (supported: 'int8', 'int8-memory')"
+                f"unknown quant mode {quant!r} "
+                "(supported: 'int8', 'int8-memory', 'int8-w8a8')"
             )
 
     def apply_prompt_template(self, conversation, add_generation_prompt: bool = False):

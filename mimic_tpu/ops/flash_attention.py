@@ -205,12 +205,12 @@ def flash_attention(
     # kernel beats the flash running-pair machinery (measured v5e, 24-layer
     # towers: T=S=512 B16 GQA 28.9→12.6 ms; T=S=2048 B2 34.7→22.2 ms); tiny
     # total work is fastest on the plain XLA path (T=S=256 B2: 7.8→4 ms est.).
-    # NON-causal rows (the vision towers) go one-shot up to S=8192: at bq=128
-    # the score tile stays ≤4 MB and the kernel beats flash 1.33× at the
-    # idefics2-8b 980px shape (29.7 vs 39.4 ms/layer, B16 H16 N5120 D72) —
-    # flash's diagonal skip buys nothing without causality, so its running-pair
-    # machinery is pure overhead there.  Causal keeps the lower cap: above it
-    # flash halves the visited blocks.
+    # NON-causal rows (the vision towers) go one-shot up to S=8192: the score
+    # tile stays ≤ _ONEPASS_SCORE_BYTES and the kernel beats flash 1.30× at the
+    # idefics2-8b 980px shape (27.9 vs 36.2 ms/layer, B16 H16 N4992 D72,
+    # bq=416) — flash's diagonal skip buys nothing without causality, so its
+    # running-pair machinery is pure overhead there.  Causal keeps the lower
+    # cap: above it flash halves the visited blocks.
     max_s = ONEPASS_MAX_S if causal else ONEPASS_MAX_S_NONCAUSAL
     if (
         mask_in_scores is None
@@ -225,7 +225,6 @@ def flash_attention(
         return onepass_attention(
             q, k, v, key_mask, causal=causal, scale=scale,
             need_unmasked=need_unmasked, interpret=interpret,
-            mask_in_scores=False,
         )
 
     scale = scale if scale is not None else 1.0 / (D**0.5)
@@ -327,6 +326,7 @@ def _onepass_kernel(
     need_unmasked: bool,
     mask_in_scores: bool,
     bq: int,
+    sum_col: Optional[int],
 ):
     """Whole attention row in one program: full-row softmax, no running pairs.
 
@@ -336,6 +336,12 @@ def _onepass_kernel(
     (S ≤ ~2k) this kernel computes max/exp/sum once over the full row instead.
     Scores arrive pre-scaled by scale·log2e (folded into q outside), so the
     softmax runs on ``exp2`` — what the VPU's exp lowers to anyway.
+
+    ``sum_col`` (set with mask_in_scores on long rows): the softmax denominator
+    rides the PV matmul — the wrapper put 1.0 in v's pad column ``sum_col``, so
+    ``acc[:, sum_col]`` IS Σp and the [bq, S] VPU sum-reduce disappears.  The
+    denominator then sums the same bf16-rounded p the numerator uses
+    (self-consistent weighted mean; ≲1e-3 relative drift vs the fp32-p sum).
     """
     q = q_ref[0, 0]
     k = k_ref[0, 0]
@@ -359,13 +365,16 @@ def _onepass_kernel(
 
     m = jnp.max(masked, axis=-1)
     p = jnp.exp2(masked - m[:, None])
-    l = jnp.sum(p, axis=-1)
-    l_safe = jnp.maximum(l, 1e-30)
     v_blk = v_ref[0, 0]
     acc = jax.lax.dot_general(
         p.astype(v_blk.dtype), v_blk, (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
     )
+    if sum_col is not None:
+        l = acc[:, sum_col]
+    else:
+        l = jnp.sum(p, axis=-1)
+    l_safe = jnp.maximum(l, 1e-30)
     o_ref[0, 0] = (acc / l_safe[:, None]).astype(o_ref.dtype)
     lse_ref[0, 0] = ((m + jnp.log2(l_safe)) * LN2)[:, None]
     if not need_unmasked:
@@ -375,9 +384,14 @@ def _onepass_kernel(
 # VMEM budget for the [bq, S] fp32 score tile (plus q/k/v blocks + headroom)
 ONEPASS_MAX_S = 3072
 # non-causal (vision) rows: bq shrinks to keep the tile ≤ _ONEPASS_SCORE_BYTES,
-# so longer key axes still fit (S=8192 → bq=128 → 4 MB tile)
+# so longer key axes still fit (S=8192 → bq=256 → 8 MB tile).
+# 8 MB cap: every program re-fetches full K/V, so bigger bq directly divides
+# that HBM refetch traffic (measured at the idefics2-8b 980px vision shape
+# B16 H16 N4992 D72: bq=128 28.6 ms/layer, bq=416 27.9 — both beat flash's
+# 36.2); Mosaic fails to compile the kernel once the tile reaches ~16 MB
+# (bq=832 at S=4992 → remote_compile HTTP 500), so the cap stays well under.
 ONEPASS_MAX_S_NONCAUSAL = 8192
-_ONEPASS_SCORE_BYTES = 4 * 1024 * 1024
+_ONEPASS_SCORE_BYTES = 8 * 1024 * 1024
 # below this many score elements per call (B·H·T·S) the fixed kernel cost
 # (transposes + per-program setup) loses to a plain XLA softmax-attention
 # (measured on v5e: B2 H16 T=S=256 → flash 0.32 ms/layer, onepass 0.61,
@@ -432,6 +446,7 @@ def onepass_attention(
     need_unmasked: bool = True,
     interpret: bool = False,
     mask_in_scores: Optional[bool] = None,
+    block_q: Optional[int] = None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """One-shot fused attention for short sequences (S ≤ ~3k).
 
@@ -441,24 +456,38 @@ def onepass_attention(
     S/block_k is small (measured at B16 H16 N768 D72 on v5e: flash 37 Gelem/s,
     XLA fused 67, this kernel — see tests/bench — is the fastest path).
     Requires S % 128 == 0 and T % 8 == 0 (the input pipeline buckets to 128).
+
+    ``block_q`` overrides the q-block size.  Every program re-fetches the FULL
+    [S, D] k/v pair, so long rows are K/V-HBM-refetch bound — bq sets the
+    refetch factor T/bq and wants to be as large as the VMEM score tile allows.
     """
     B, T, H, D = q.shape
     S, Hkv = k.shape[1], k.shape[2]
     groups = H // Hkv
     scale = scale if scale is not None else 1.0 / (D**0.5)
 
-    # bq: whole T when the score tile fits, else the largest divisor that does
-    bq_cap = max(_ONEPASS_SCORE_BYTES // (4 * S), 8)
-    bq = _pick_block(T, min(T, bq_cap))
+    # bq: whole T when the score tile fits, else the largest (8-multiple)
+    # divisor that does — NOT _pick_block's power-of-two list, because ragged
+    # patch counts (4992 = 832·6) deserve their large divisors: bigger bq
+    # directly divides the K/V refetch factor
+    bq_cap = min(T, block_q or max(_ONEPASS_SCORE_BYTES // (4 * S), 8))
+    bq = max(
+        (d for d in range(8, bq_cap + 1, 8) if T % d == 0), default=T
+    )
 
-    # default OFF: the column trick's host-side q/k/v pad+set passes cost more
-    # than the in-kernel select saves at one-shot sizes (measured B16 N768 D72
-    # on v5e: select 13.7 ms/12L vs mask-in-scores 35.8) — the reverse of the
-    # long-sequence flash regime where the per-score select dominates
+    # Default OFF: the pad-lane tricks (mask-in-scores + sum-in-pv) inflate the
+    # K/V traffic D 72→128 (1.78×), and every one-shot program re-fetches full
+    # K/V — so on long rows, where the kernel is refetch-bound, they LOSE
+    # despite the VPU work they remove (measured v5e B16 H16 D72 N4992:
+    # select 27.9 ms/layer vs mask-col+sum-pv 34.5 at bq=416; at short rows the
+    # host-side pad+set passes dominate instead: N=768 select 13.7 ms/12L vs
+    # mask-col 35.8).  Kept as an explicit opt-in for lane-aligned-D shapes
+    # where the padding would be free.
     if mask_in_scores is None:
         mask_in_scores = False
     mask_in_scores = mask_in_scores and not need_unmasked and key_mask is not None
     Dp = D
+    sum_col = None
     if mask_in_scores:
         Dp = (D // 128 + 1) * 128
         mask_col = jnp.where(key_mask > 0, 0.0, NEG).astype(k.dtype)  # [B,S]
@@ -467,6 +496,10 @@ def onepass_attention(
         k = jnp.pad(k, ((0, 0), (0, 0), (0, 0), (0, Dp - D)))
         k = k.at[..., D].set(mask_col[:, :, None])
         v = jnp.pad(v, ((0, 0), (0, 0), (0, 0), (0, Dp - D)))
+        # the denominator rides the same free pad lanes: Σp comes out of the
+        # PV matmul's ones column instead of a [bq, S] VPU reduce
+        v = v.at[..., D].set(1.0)
+        sum_col = D
 
     q = q * jnp.asarray(scale * LOG2E, q.dtype)
 
@@ -482,6 +515,7 @@ def onepass_attention(
         need_unmasked=need_unmasked,
         mask_in_scores=mask_in_scores,
         bq=bq,
+        sum_col=sum_col,
     )
     in_specs = [
         pl.BlockSpec((1, 1, S), lambda b, h, jq: (b, 0, 0)) if use_kmask else None,

@@ -1,4 +1,23 @@
-"""Int8 weight-only quantization with a dequant-fused Pallas matmul.
+"""Int8 quantization: weight-only (exact) and W8A8 (int8 MXU) Pallas matmuls.
+
+**W8A8 (compute-bound text prefill).** The v5e MXU runs int8×int8→int32 at
+~2× its bf16 rate, but ONLY through Mosaic — XLA's int8 dot shows no speedup
+(measured: Pallas int8 445 TF/s at bm1024/bk512/bn512 vs XLA bf16 dot 221
+TF/s; the full W8A8 pipeline incl. per-token activation quantization and the
+two-scale epilogue sustains 317 TF/s at 4k³ — scripts/bench_int8_mxu.py).
+Handles marked ``a8`` dispatch compute-bound shapes (M ≥ 256) to this kernel:
+``out[m,n] = Σ_k x8[m,k]·w8[k,n] · s_x[m] · s_w[n]`` with per-token (row)
+symmetric activation scales.  W8A8 is NOT bit-parity with the bf16 path
+(activation rounding); it is only ever enabled inside the opt-in int8 serving
+modes.
+
+The win needs a DEEP contraction to amortize the per-matmul activation
+quantization pass (scripts/bench_w8a8_shapes.py, end-to-end vs XLA bf16 dot on
+this chip): idefics2-8b prefill qkv (K4096) 1.20×, gate/up-fused (K4096,
+N28672) 1.42×, down (K14336) 1.16× — but every SigLIP vision shape LOSES
+(K1152: qkv 1.09×, o 1.03×, fc1 0.85×, fc2 0.68×), so W8A8 is wired into the
+text tower only (``quantize_lm_params(act_quant=True)``); the vision tower
+stays bf16.
 
 Autoregressive decode on TPU is bound by streaming the (frozen) weight matrices
 from HBM every step — activations are tiny ([B·beams, D] rows).  Per-channel
@@ -46,12 +65,25 @@ def _round_up(n: int, m: int) -> int:
 # ---------------------------------------------------------------------------
 
 
-def quantize_weight(w: jnp.ndarray) -> Params:
+def quantize_weight(
+    w: jnp.ndarray, act_quant: bool = False, pad_k: bool = False
+) -> Params:
     """[..., K, N] float → {"q8": int8 [..., K, N'], "scale": f32 [..., N]}.
 
     Per-output-channel symmetric: scale_n = max_k |w[k,n]| / 127.  The stored
     ``q8`` is zero-padded on N to a lane multiple (128) for the kernel; ``scale``
     keeps the ORIGINAL N so ``qdot`` knows how much to slice back off.
+
+    ``act_quant=True`` marks the handle for W8A8 dispatch (``qdot`` then runs
+    compute-bound shapes through the int8×int8 MXU kernel with per-token
+    activation quantization — ~2× the bf16 dot rate, not bit-parity).  The
+    marker is a zero-size array key so the handle stays a plain array pytree
+    (tree.map / nbytes / leaf counting all keep working).
+
+    ``pad_k=True`` zero-pads the contraction axis to a lane multiple too (for
+    ragged-K weights like the SigLIP fc2's K=4304=16·269 that no hardware
+    block divides); ``qdot`` zero-pads the activation columns to match — exact,
+    zero rows contribute nothing.
 
     Stacked weights ([L, K, N]) quantize layer-by-layer via ``lax.map`` so the
     fp32 intermediate is one layer, not the whole stack — an 8B model's gate/up
@@ -65,8 +97,9 @@ def quantize_weight(w: jnp.ndarray) -> Params:
         q = jnp.clip(jnp.round(wf / scale), -127, 127).astype(jnp.int8)
         n = w2.shape[-1]
         n_pad = _round_up(n, 128) - n
-        if n_pad:
-            pad = [(0, 0)] * (w2.ndim - 1) + [(0, n_pad)]
+        k_pad = _round_up(w2.shape[-2], 128) - w2.shape[-2] if pad_k else 0
+        if n_pad or k_pad:
+            pad = [(0, 0)] * (w2.ndim - 2) + [(0, k_pad), (0, n_pad)]
             q = jnp.pad(q, pad)
         return q, scale[..., 0, :]
 
@@ -78,11 +111,39 @@ def quantize_weight(w: jnp.ndarray) -> Params:
         scale = scale.reshape(lead + scale.shape[1:])
     else:
         q, scale = one(w)
-    return {"q8": q, "scale": scale}
+    out = {"q8": q, "scale": scale}
+    if act_quant:
+        out["a8"] = jnp.zeros((0,), jnp.int8)
+    return out
 
 
 def is_quantized(w: Any) -> bool:
     return isinstance(w, dict) and "q8" in w
+
+
+def mark_act_quant(params: Params) -> Params:
+    """Mark a quantized tree's decoder self-attn layer stacks for W8A8 dispatch.
+
+    Pure re-tagging — adds the zero-size ``a8`` key to already-quantized
+    handles in the ``lm.decoder.layers`` group (the same selection
+    ``quantize_lm_params(act_quant=True)`` makes), without touching the weight
+    bytes.  Lets serving code toggle W8A8 prefill on an existing int8-memory
+    tree."""
+    import copy
+
+    out = copy.copy(params)
+    lm = dict(out["lm"]) if "lm" in out else out
+    dec = dict(lm["decoder"])
+    layers = {
+        k: dict(v, a8=jnp.zeros((0,), jnp.int8)) if is_quantized(v) else v
+        for k, v in dec["layers"].items()
+    }
+    dec["layers"] = layers
+    lm["decoder"] = dec
+    if "lm" in out:
+        out["lm"] = lm
+        return out
+    return lm
 
 
 def concat_quantized(parts) -> Params:
@@ -96,13 +157,18 @@ def concat_quantized(parts) -> Params:
                 "concat_quantized needs unpadded parts (N a 128-multiple); "
                 f"got stored N {p['q8'].shape[-1]} vs scale N {p['scale'].shape[-1]}"
             )
-    return {
+    out = {
         "q8": jnp.concatenate([p["q8"] for p in parts], axis=-1),
         "scale": jnp.concatenate([p["scale"] for p in parts], axis=-1),
     }
+    if all("a8" in p for p in parts):
+        out["a8"] = jnp.zeros((0,), jnp.int8)
+    return out
 
 
-def quantize_lm_params(params: Params, fuse: bool = True) -> Params:
+def quantize_lm_params(
+    params: Params, fuse: bool = True, act_quant: bool = False
+) -> Params:
     """Quantize the text tower's decode-hot matmuls of an LVLM/LM param tree.
 
     Covers the stacked decoder layer projections, IDEFICS-1 cross-attention
@@ -117,6 +183,12 @@ def quantize_lm_params(params: Params, fuse: bool = True) -> Params:
     GB/s for separate 2-4 MB calls vs 280-360 GB/s fused), and per-output-channel
     scales make fusion exact.  Cross-attention layers stay unfused (q reads the
     text stream, k/v the image stream — different inputs).
+
+    ``act_quant=True`` additionally marks the self-attn layer stacks for W8A8
+    prefill dispatch (int8 MXU; see module docstring — not bit-parity, serving
+    modes only).  Cross-attention layers and the lm head stay weight-only:
+    cross handles are sliced by ``jax.tree.map`` per group, and head logits
+    feed beam selection where activation rounding is least welcome.
     """
     import copy
 
@@ -127,18 +199,21 @@ def quantize_lm_params(params: Params, fuse: bool = True) -> Params:
         if group not in dec:
             continue
         g = dict(dec[group])
+        aq = act_quant and group == "layers"
         if fuse and group == "layers":
             if "q_proj" in g and not is_quantized(g["q_proj"]):
                 g["qkv_proj"] = quantize_weight(
-                    jnp.concatenate([g.pop("q_proj"), g.pop("k_proj"), g.pop("v_proj")], axis=-1)
+                    jnp.concatenate([g.pop("q_proj"), g.pop("k_proj"), g.pop("v_proj")], axis=-1),
+                    act_quant=aq,
                 )
             if "gate_proj" in g and not is_quantized(g["gate_proj"]):
                 g["gateup_proj"] = quantize_weight(
-                    jnp.concatenate([g.pop("gate_proj"), g.pop("up_proj")], axis=-1)
+                    jnp.concatenate([g.pop("gate_proj"), g.pop("up_proj")], axis=-1),
+                    act_quant=aq,
                 )
         for name in DECODER_MATMUL_KEYS:
             if name in g and not is_quantized(g[name]):
-                g[name] = quantize_weight(g[name])
+                g[name] = quantize_weight(g[name], act_quant=aq)
         dec[group] = g
     lm["decoder"] = dec
     if "lm_head" in lm and not is_quantized(lm["lm_head"]):
@@ -285,6 +360,152 @@ def int8_matmul_stacked(
         ),
         interpret=interpret,
     )(jnp.atleast_1d(layer).astype(jnp.int32), x, wq, scale[:, None, :])
+
+
+# ---------------------------------------------------------------------------
+# W8A8: int8×int8→int32 MXU matmuls (compute-bound prefill/vision shapes)
+# ---------------------------------------------------------------------------
+
+
+def quantize_rows(x: jnp.ndarray):
+    """Per-row symmetric int8: [..., K] float → (int8 [..., K], f32 [...] scales).
+
+    One fused XLA elementwise pass (abs-max reduce + round) — negligible next
+    to the matmul it feeds (K·1 vs K·N work per row)."""
+    xf = x.astype(jnp.float32)
+    amax = jnp.max(jnp.abs(xf), axis=-1, keepdims=True)
+    s = jnp.maximum(amax, 1e-8) / 127.0
+    x8 = jnp.clip(jnp.round(xf / s), -127, 127).astype(jnp.int8)
+    return x8, s[..., 0]
+
+
+def _w8a8_kernel(xs_ref, x_ref, w_ref, sw_ref, o_ref, acc_ref):
+    """One (m, n) block of ``(x8 @ w8) · s_x[m] · s_w[n]`` with int32 VMEM acc.
+
+    The int8×int8 dot hits the MXU's double-rate int8 mode (Mosaic-only);
+    both scales apply once to the int32 accumulator at the last K step."""
+    @pl.when(pl.program_id(2) == 0)
+    def _init():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    acc_ref[:] += jax.lax.dot_general(
+        x_ref[:], w_ref[:], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.int32,
+    )
+
+    @pl.when(pl.program_id(2) == pl.num_programs(2) - 1)
+    def _finalize():
+        sx = xs_ref[:].astype(jnp.float32)  # [bm, 1]
+        sw = sw_ref[:].astype(jnp.float32)  # [1, bn]
+        o_ref[:] = (acc_ref[:].astype(jnp.float32) * sx * sw).astype(o_ref.dtype)
+
+
+def _w8a8_kernel_stacked(l_ref, xs_ref, x_ref, w_ref, sw_ref, o_ref, acc_ref):
+    """``_w8a8_kernel`` reading weight/scale blocks from a stacked [L, ...]
+    array at the scalar-prefetched layer index."""
+    @pl.when(pl.program_id(2) == 0)
+    def _init():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    acc_ref[:] += jax.lax.dot_general(
+        x_ref[:], w_ref[0], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.int32,
+    )
+
+    @pl.when(pl.program_id(2) == pl.num_programs(2) - 1)
+    def _finalize():
+        sx = xs_ref[:].astype(jnp.float32)      # [bm, 1]
+        sw = sw_ref[0].astype(jnp.float32)      # [1, bn]
+        o_ref[:] = (acc_ref[:].astype(jnp.float32) * sx * sw).astype(o_ref.dtype)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("out_dtype", "block_m", "block_n", "block_k", "interpret")
+)
+def w8a8_matmul(
+    x8: jnp.ndarray,       # [M, K] int8 activations
+    xs: jnp.ndarray,       # [M] f32 per-row activation scales
+    wq: jnp.ndarray,       # [K, N] int8
+    scale: jnp.ndarray,    # [N] f32 per-output-channel weight scales
+    out_dtype=jnp.bfloat16,
+    block_m: int = 1024,
+    block_n: int = 512,
+    block_k: int = 512,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    M, K = x8.shape
+    N = wq.shape[1]
+    bm = _pick_block(M, block_m)
+    bn = _pick_block(N, block_n)
+    bk = _pick_block(K, block_k)
+    grid = (M // bm, N // bn, K // bk)
+    return pl.pallas_call(
+        functools.partial(_w8a8_kernel),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((bm, 1), lambda m, n, k: (m, 0)),
+            pl.BlockSpec((bm, bk), lambda m, n, k: (m, k)),
+            pl.BlockSpec((bk, bn), lambda m, n, k: (k, n)),
+            pl.BlockSpec((1, bn), lambda m, n, k: (0, n)),
+        ],
+        out_specs=pl.BlockSpec((bm, bn), lambda m, n, k: (m, n)),
+        out_shape=jax.ShapeDtypeStruct((M, N), out_dtype),
+        scratch_shapes=[pltpu.VMEM((bm, bn), jnp.int32)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary")
+        ),
+        interpret=interpret,
+    )(xs[:, None].astype(jnp.float32), x8, wq, scale[None, :])
+
+
+@functools.partial(
+    jax.jit, static_argnames=("out_dtype", "block_m", "block_n", "block_k", "interpret")
+)
+def w8a8_matmul_stacked(
+    x8: jnp.ndarray,       # [M, K] int8
+    xs: jnp.ndarray,       # [M] f32
+    wq: jnp.ndarray,       # [L, K, N] int8 (stacked layers)
+    scale: jnp.ndarray,    # [L, N] f32
+    layer: jnp.ndarray,    # scalar int32
+    out_dtype=jnp.bfloat16,
+    block_m: int = 1024,
+    block_n: int = 512,
+    block_k: int = 512,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    M, K = x8.shape
+    L, _, N = wq.shape
+    bm = _pick_block(M, block_m)
+    bn = _pick_block(N, block_n)
+    bk = _pick_block(K, block_k)
+    grid = (M // bm, N // bn, K // bk)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((bm, 1), lambda m, n, k, l: (m, 0)),
+            pl.BlockSpec((bm, bk), lambda m, n, k, l: (m, k)),
+            pl.BlockSpec((1, bk, bn), lambda m, n, k, l: (l[0], k, n)),
+            pl.BlockSpec((1, 1, bn), lambda m, n, k, l: (l[0], 0, n)),
+        ],
+        out_specs=pl.BlockSpec((bm, bn), lambda m, n, k, l: (m, n)),
+        scratch_shapes=[pltpu.VMEM((bm, bn), jnp.int32)],
+    )
+    return pl.pallas_call(
+        _w8a8_kernel_stacked,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((M, N), out_dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary")
+        ),
+        interpret=interpret,
+    )(
+        jnp.atleast_1d(layer).astype(jnp.int32),
+        xs[:, None].astype(jnp.float32),
+        x8,
+        wq,
+        scale[:, None, :],
+    )
 
 
 def _mlp_kernel(l_ref, xn_ref, g_ref, u_ref, sg_ref, su_ref, d_ref, sd_ref,
@@ -448,7 +669,38 @@ def qdot(
 
     xm = x.reshape(-1, K)
     M = xm.shape[0]
+    k_stored = wq.shape[-2]
+    if k_stored != K:
+        # pad_k storage: zero activation columns contribute nothing (exact)
+        xm = jnp.pad(xm, ((0, 0), (0, k_stored - K)))
     if jax.default_backend() == "tpu" and M >= 256:
+        if "a8" in w:
+            # W8A8: per-token activation quantization + int8×int8 MXU matmul
+            # (~2× the bf16 dot rate; Mosaic-only — see module docstring).
+            # Opt-in via quantize-with-act_quant; not bit-parity.
+            m_pad = _round_up(M, 128) - M
+            x8, xs = quantize_rows(xm)
+            if m_pad:
+                x8 = jnp.pad(x8, ((0, m_pad), (0, 0)))
+                xs = jnp.pad(xs, ((0, m_pad),))
+            sc = scale
+            if n != n_stored:
+                pad = [(0, 0)] * (sc.ndim - 1) + [(0, n_stored - n)]
+                sc = jnp.pad(sc, pad)
+            if layer is not None:
+                out = w8a8_matmul_stacked(
+                    x8, xs, wq, sc.astype(jnp.float32), layer,
+                    out_dtype=out_dtype,
+                )
+            else:
+                out = w8a8_matmul(
+                    x8, xs, wq, sc.astype(jnp.float32), out_dtype=out_dtype
+                )
+            if m_pad:
+                out = out[:M]
+            if n != n_stored:
+                out = out[:, :n]
+            return out.reshape(*lead, n)
         # compute-bound shapes (prefill in single-copy int8 mode): one XLA
         # dequant materialization + full-speed dot beats the streaming kernel,
         # whose weight blocks are re-fetched M/bm times

@@ -144,13 +144,20 @@ def make_batch(cfg, B=16, T=512, N=1):
     )
 
 
-def run_8b_bench(phases: bool = False, iters: int = 5):
+def run_8b_bench(phases: bool = False, iters: int = 5, w8a8: bool = False):
     import jax
     import jax.numpy as jnp
 
     from mimic_tpu.models.generate import _prefill, beam_generate
 
     cfg, params, tk, n_params = build_8b_int8()
+    mode = "int8-memory"
+    if w8a8:
+        # same weight bytes, prefill matmuls re-tagged for the int8 MXU
+        from mimic_tpu.ops.quant import mark_act_quant
+
+        params = mark_act_quant(params)
+        mode = "int8-w8a8"
     batch = make_batch(cfg)
     B = batch.input_ids.shape[0]
     attn = "flash" if jax.default_backend() == "tpu" else "xla"
@@ -210,7 +217,7 @@ def run_8b_bench(phases: bool = False, iters: int = 5):
     results["total_ms"] = dt / iters * 1e3
     results["qps"] = B * iters / dt
     print(
-        f"8B int8-memory serving: {results['total_ms']:.0f} ms/batch -> "
+        f"8B {mode} serving: {results['total_ms']:.0f} ms/batch -> "
         f"{results['qps']:.2f} queries/s/chip",
         flush=True,
     )
@@ -225,4 +232,4 @@ def run_8b_bench(phases: bool = False, iters: int = 5):
 
 
 if __name__ == "__main__":
-    run_8b_bench(phases="--phases" in sys.argv)
+    run_8b_bench(phases="--phases" in sys.argv, w8a8="--w8a8" in sys.argv)

@@ -361,3 +361,115 @@ def test_idefics1_cross_attention_quant_generate():
     conv = [{"role": "user", "content": [{"type": "image"}, {"type": "text", "text": "hi"}]}]
     out = r.generate([[img]], [conv], num_beams=2, max_new_tokens=3)
     assert len(out) == 1
+
+
+class TestW8A8:
+    """int8×int8 MXU path: per-row activation quantization + two-scale epilogue.
+
+    Opt-in (``act_quant=True`` / quant="int8-w8a8"); only large-K text-prefill
+    shapes dispatch to it on TPU (measured table in the module docstring)."""
+
+    def test_quantize_rows(self):
+        from mimic_tpu.ops.quant import quantize_rows
+
+        x = jax.random.normal(jax.random.PRNGKey(9), (4, 7, 64))
+        x8, xs = quantize_rows(x)
+        assert x8.dtype == jnp.int8 and xs.shape == (4, 7)
+        rec = x8.astype(jnp.float32) * xs[..., None]
+        err = np.abs(np.asarray(rec - x))
+        assert (err <= np.asarray(xs)[..., None] * 0.5 + 1e-7).all()
+        # max-magnitude element hits ±127 exactly
+        assert np.abs(np.asarray(x8)).max(axis=-1).min() == 127
+
+    def test_quantize_rows_zero_row(self):
+        from mimic_tpu.ops.quant import quantize_rows
+
+        x8, xs = quantize_rows(jnp.zeros((3, 16)))
+        assert np.isfinite(np.asarray(xs)).all()
+        assert np.asarray(x8).sum() == 0
+
+    @pytest.mark.parametrize("m,k,n", [(128, 128, 128), (256, 256, 384)])
+    def test_kernel_interpret_matches_reference(self, m, k, n):
+        from mimic_tpu.ops.quant import quantize_rows, w8a8_matmul
+
+        kx, kw = jax.random.split(jax.random.PRNGKey(10))
+        x = jax.random.normal(kx, (m, k), jnp.float32)
+        w = jax.random.normal(kw, (k, n), jnp.float32)
+        q = quantize_weight(w, act_quant=True)
+        x8, xs = quantize_rows(x)
+        out = w8a8_matmul(
+            x8, xs, q["q8"], q["scale"], out_dtype=jnp.float32,
+            block_m=128, block_n=128, block_k=128, interpret=True,
+        )
+        ref = (x8.astype(jnp.float32) * xs[:, None]) @ _dequant(q)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=5e-4, atol=1e-3)
+
+    def test_stacked_kernel_interpret_picks_layer(self):
+        from mimic_tpu.ops.quant import quantize_rows, w8a8_matmul_stacked
+
+        x = jax.random.normal(jax.random.PRNGKey(11), (128, 128), jnp.float32)
+        w = jax.random.normal(jax.random.PRNGKey(12), (3, 128, 256), jnp.float32)
+        q = quantize_weight(w, act_quant=True)
+        x8, xs = quantize_rows(x)
+        for l in (0, 2):
+            out = w8a8_matmul_stacked(
+                x8, xs, q["q8"], q["scale"], jnp.int32(l), out_dtype=jnp.float32,
+                block_m=128, block_n=128, block_k=128, interpret=True,
+            )
+            ref = (x8.astype(jnp.float32) * xs[:, None]) @ _dequant(
+                {"q8": q["q8"][l], "scale": q["scale"][l]}
+            )
+            np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=5e-4, atol=1e-3)
+
+    def test_qdot_a8_handle_cpu_fallback_exact(self):
+        # off-TPU the a8 marker is inert: same exact dequant fallback
+        x = jax.random.normal(jax.random.PRNGKey(13), (300, 64))
+        w = jax.random.normal(jax.random.PRNGKey(14), (64, 200))
+        qa = quantize_weight(w, act_quant=True)
+        assert "a8" in qa and qa["a8"].size == 0
+        out = qdot(x, qa)
+        ref = x.astype(jnp.float32) @ _dequant(qa)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=1e-5, atol=1e-6)
+
+    def test_pad_k_storage_exact(self):
+        # ragged-K weights can zero-pad the contraction axis; qdot pads the
+        # activation columns to match (zero rows contribute nothing)
+        x = jax.random.normal(jax.random.PRNGKey(15), (4, 200))
+        w = jax.random.normal(jax.random.PRNGKey(16), (200, 128))
+        q = quantize_weight(w, pad_k=True)
+        assert q["q8"].shape == (256, 128)
+        assert np.asarray(q["q8"][200:]).sum() == 0
+        out = qdot(x, q)
+        ref = x.astype(jnp.float32) @ _dequant(quantize_weight(w))
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=1e-5, atol=1e-6)
+
+    def test_quantize_lm_params_act_quant_marks_self_attn_only(self):
+        from mimic_tpu.models.factory import build_model
+
+        r = build_model("tiny-idefics1", quant="int8-w8a8")
+        dec = r.params["lm"]["decoder"]
+        assert "a8" in dec["layers"]["qkv_proj"]
+        assert "a8" in dec["layers"]["gateup_proj"]
+        # cross-attention and lm head stay weight-only
+        assert "a8" not in dec["cross"]["q_proj"]
+        assert "a8" not in r.params["lm"]["lm_head"]
+        # generate still runs end-to-end (CPU: marker inert)
+        img = np.zeros((64, 64, 3), np.uint8)
+        out = r.generate([[img]], ["User: hi<image>\nAssistant:"], max_new_tokens=3)
+        assert len(out) == 1
+
+    def test_mark_act_quant_retags_without_copy(self):
+        from mimic_tpu.models.factory import build_model
+        from mimic_tpu.ops.quant import mark_act_quant
+
+        r = build_model("tiny-idefics2", quant="int8-memory")
+        marked = mark_act_quant(r.params)
+        lay = marked["lm"]["decoder"]["layers"]
+        orig = r.params["lm"]["decoder"]["layers"]
+        assert "a8" in lay["qkv_proj"] and "a8" not in orig["qkv_proj"]
+        # same underlying weight buffers, no requantization
+        assert lay["qkv_proj"]["q8"] is orig["qkv_proj"]["q8"]
+        # non-quantized leaves (norms) untouched
+        np.testing.assert_array_equal(
+            np.asarray(lay["input_ln"]), np.asarray(orig["input_ln"])
+        )
