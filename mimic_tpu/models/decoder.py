@@ -230,7 +230,9 @@ def _self_attention(
         )
         gen_key_mask = key_mask
         if prompt_k is not None:
-            gen_key_mask = key_mask[:, prompt_k.shape[1]:]
+            from ..ops.decode_attention import prompt_kv_len
+
+            gen_key_mask = key_mask[:, prompt_kv_len(prompt_k):]
         # serve slots carry one extra mask column for the current token (their
         # timeline is cache capacity + 1); attention over the cache region only
         # reads the first S columns
@@ -396,14 +398,21 @@ def decoder_forward(
     use_cache = kv_cache is not None
     cache_len = kv_cache["length"] if use_cache else jnp.zeros((), jnp.int32)
     has_prompt = use_cache and "prompt_k" in kv_cache
-    prompt_len = kv_cache["prompt_k"].shape[2] if has_prompt else 0
+    from ..ops.decode_attention import is_quantized_kv, prompt_kv_len
+
+    prompt_quant = has_prompt and is_quantized_kv(kv_cache["prompt_k"])
+    prompt_len = prompt_kv_len(kv_cache["prompt_k"]) if has_prompt else 0
     if use_cache and key_mask is None:
         key_mask = jnp.ones((B, prompt_len + kv_cache["k"].shape[2]), jnp.int32)
     prompt_mask = None
     if has_prompt:
         # per-beam rows of the full-timeline mask are identical within a batch
         # row's beam group (one prefill, tiled) — reduce to B0 rows once
-        B0 = kv_cache["prompt_k"].shape[1]
+        B0 = (
+            kv_cache["prompt_k"]["q8"].shape[1]
+            if prompt_quant
+            else kv_cache["prompt_k"].shape[1]
+        )
         prompt_mask = key_mask[:, :prompt_len].reshape(B0, B // B0, prompt_len)[:, 0]
     # cache_empty (static hint from prefill): attention only needs the current
     # block — run the no-cache path (flash-eligible) and just append k/v after
@@ -531,6 +540,11 @@ def decoder_forward(
         dummy = jnp.zeros((n, 1))
         has_ls, has_os, has_ad = ls is not None, os_ is not None, ad is not None
         has_pa, has_pf = pa is not None, pf is not None
+        # int8-quantized prompt KV stays closure-captured like quantized
+        # weights (a scan-xs dynamic slice feeding a Pallas call would
+        # materialize a per-layer HBM copy); the kernel indexes the stacked
+        # arrays with the carried layer index instead
+        thread_prompt = has_prompt and not prompt_quant
         dkeys = dk_stack
         xs = (
             lp_plain,
@@ -543,8 +557,8 @@ def decoder_forward(
             dkeys if dkeys is not None else dummy,
             ck if use_cache else dummy,
             cv if use_cache else dummy,
-            pk if has_prompt else dummy,
-            pv if has_prompt else dummy,
+            pk if thread_prompt else dummy,
+            pv if thread_prompt else dummy,
         )
 
         def step(h, xs_):
@@ -553,6 +567,12 @@ def decoder_forward(
                 lp = dict(lp)
                 for name, qw in lp_quant.items():
                     lp[name] = dict(qw, layer=idx_)
+            if prompt_quant:
+                pk_arg = dict(kv_cache["prompt_k"], layer=idx_)
+                pv_arg = dict(kv_cache["prompt_v"], layer=idx_)
+            else:
+                pk_arg = pk_ if thread_prompt else None
+                pv_arg = pv_ if thread_prompt else None
             return layer_step(
                 h,
                 (
@@ -565,8 +585,8 @@ def decoder_forward(
                     dk__ if dkeys is not None else None,
                     ck_ if use_cache else None,
                     cv_ if use_cache else None,
-                    pk_ if has_prompt else None,
-                    pv_ if has_prompt else None,
+                    pk_arg,
+                    pv_arg,
                 ),
             )
 
@@ -580,8 +600,9 @@ def decoder_forward(
     h = input_embeds
     ck_stack = kv_cache["k"] if use_cache else None
     cv_stack = kv_cache["v"] if use_cache else None
-    pk_stack = kv_cache["prompt_k"] if has_prompt else None
-    pv_stack = kv_cache["prompt_v"] if has_prompt else None
+    thread_prompt = has_prompt and not prompt_quant
+    pk_stack = kv_cache["prompt_k"] if thread_prompt else None
+    pv_stack = kv_cache["prompt_v"] if thread_prompt else None
 
     if cfg.cross_attn_interval:
         # grouped execution: cross-attn g, then K self layers, for each group g
@@ -611,8 +632,8 @@ def decoder_forward(
                 dk_full[lo:hi] if dk_full is not None else None,
                 ck_stack[lo:hi] if use_cache else None,
                 cv_stack[lo:hi] if use_cache else None,
-                pk_stack[lo:hi] if has_prompt else None,
-                pv_stack[lo:hi] if has_prompt else None,
+                pk_stack[lo:hi] if thread_prompt else None,
+                pv_stack[lo:hi] if thread_prompt else None,
                 layer_offset=lo,
             )
             ys_groups.append(ys)

@@ -142,7 +142,7 @@ def greedy_generate(
 @partial(
     jax.jit,
     static_argnames=(
-        "cfg", "max_new_tokens", "num_beams", "eos_token_id", "pad_token_id", "logz2", "attn_impl",
+        "cfg", "max_new_tokens", "num_beams", "eos_token_id", "pad_token_id", "logz2", "attn_impl", "quant_kv",
     ),
 )
 def beam_generate(
@@ -160,8 +160,17 @@ def beam_generate(
     logz2: str = "unmasked",
     attn_impl: str = "xla",
     decode_params=None,
+    quant_kv: Optional[bool] = None,
 ) -> GenerateResult:
-    """HF-semantics beam search (do_sample=False, early_stopping=False)."""
+    """HF-semantics beam search (do_sample=False, early_stopping=False).
+
+    ``quant_kv``: store the beam-shared prompt KV region int8 (per position ×
+    kv-head scales) and run decode-step attention over it through the
+    dequant-fused Pallas kernel (``ops/decode_attention.py``) — halves the
+    dominant per-step HBM read.  Defaults to on exactly when a separate int8
+    decode weight copy is in use (the opt-in serving modes; the bit-parity
+    default path never quantizes).
+    """
     B, T = batch.input_ids.shape
     K = num_beams
     total = T + max_new_tokens
@@ -188,9 +197,23 @@ def beam_generate(
     # reordering gathers just [L,B·K,max_new,·,·].
     L, _, _, Hkv, Dh = cache["k"].shape
     gen_shape = (L, B * K, max_new_tokens, Hkv, Dh)
+    prompt_k, prompt_v = cache["k"][:, :, :T], cache["v"][:, :, :T]
+    if quant_kv is None:
+        quant_kv = decode_params is not None
+    if (
+        quant_kv
+        and shift is None
+        and cfg.text.sliding_window is None
+        and Dh % 128 == 0
+        and T % 128 == 0
+        and jax.default_backend() == "tpu"
+    ):
+        from ..ops.decode_attention import quantize_prompt_kv
+
+        prompt_k, prompt_v = quantize_prompt_kv(prompt_k, prompt_v)
     cache = {
-        "prompt_k": cache["k"][:, :, :T],
-        "prompt_v": cache["v"][:, :, :T],
+        "prompt_k": prompt_k,
+        "prompt_v": prompt_v,
         "k": jnp.zeros(gen_shape, cache["k"].dtype),
         "v": jnp.zeros(gen_shape, cache["v"].dtype),
         "length": cache["length"],

@@ -161,9 +161,22 @@ def cached_attention(
         preferred_element_type=jnp.float32,
     )
 
+    from ..ops.decode_attention import is_quantized_kv, prompt_kv_len
+
     gen_len = cache_len
     s_prompt = None
-    if prompt_k is not None:
+    quant_prompt = prompt_k is not None and is_quantized_kv(prompt_k)
+    if quant_prompt:
+        # int8 prompt KV (serving mode): the Pallas kernel below handles the
+        # whole prompt region; only the thin generated/current parts run here
+        if window is not None or need_unmasked:
+            raise NotImplementedError(
+                "int8 prompt KV supports plain causal decode only "
+                "(no sliding window, no unmasked-lse shift consumer)"
+            )
+        Sp = prompt_kv_len(prompt_k)
+        gen_len = cache_len - Sp
+    elif prompt_k is not None:
         B0, Sp = prompt_k.shape[0], prompt_k.shape[1]
         Kb = B // B0
         gen_len = cache_len - Sp  # written slots within the generated region
@@ -196,6 +209,39 @@ def cached_attention(
 
     masked_cache = jnp.where(cache_mask, s_cache, NEG_INF)
     masked_new = jnp.where(new_mask, s_new, NEG_INF)
+
+    if quant_prompt:
+        # prompt region: one Pallas call streams the int8 KV and returns the
+        # partial softmax triple; merge with the thin XLA parts by logsumexp
+        from ..ops.decode_attention import prompt_attention_int8
+
+        o_p, m_p, l_p = prompt_attention_int8(qg, prompt_k, prompt_v, prompt_mask)
+        rest = jnp.concatenate([masked_cache, masked_new], axis=-1)  # [B,Hkv,G,T,S+T]
+        m_r = jnp.max(rest, axis=-1)
+        p_r = jnp.exp(rest - m_r[..., None])
+        l_r = jnp.sum(p_r, axis=-1)
+        p_r = p_r.astype(cache_v.dtype)
+        o_r = jnp.einsum(
+            "bkgts,bskd->bkgtd", p_r[..., :S], cache_v,
+            preferred_element_type=jnp.float32,
+        ) + jnp.einsum(
+            "bkgts,bskd->bkgtd", p_r[..., S:], v_new.astype(cache_v.dtype),
+            preferred_element_type=jnp.float32,
+        )
+        m_tot = jnp.maximum(m_p, m_r)
+        ap = jnp.exp(m_p - m_tot)
+        ar = jnp.exp(m_r - m_tot)
+        l_tot = jnp.maximum(l_p * ap + l_r * ar, 1e-30)
+        o = o_p * ap[..., None] + o_r * ar[..., None]
+        out = (
+            (o / l_tot[..., None])
+            .transpose(0, 3, 1, 2, 4)
+            .reshape(B, T, H, D)
+            .astype(q.dtype)
+        )
+        lse = jnp.transpose((m_tot + jnp.log(l_tot)).reshape(B, H, T), (0, 2, 1))
+        return out, lse, lse
+
     parts = [masked_cache, masked_new]
     u_parts = (
         [jnp.where(written, s_cache, NEG_INF), s_new] if need_unmasked else None
