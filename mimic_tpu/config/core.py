@@ -70,15 +70,31 @@ class LoraConfig:
 
 
 @dataclass
+class PrefixConfig:
+    """Prefix-tuning (HF peft ``PrefixTuningConfig`` analog).
+
+    The reference peft factory accepts ``peft.name == "prefix-tuning"``
+    (``src/utils.py:50-63``) but ships no config for it; these defaults follow
+    HF peft's (``num_virtual_tokens`` has no HF default — 16 is ours,
+    documented).  Virtual tokens are learned post-RoPE key/value slots
+    prepended to every self-attention layer's cache; real-token positions
+    shift by ``num_virtual_tokens`` (HF semantics: the prefix extends the
+    attention mask, so cumsum positions count it)."""
+
+    num_virtual_tokens: int = 16
+
+
+@dataclass
 class PeftConfig:
     """Mirrors reference src/config/peft/*.yaml."""
 
-    name: str = "mimic"  # "mimic" | "licv" | "lora"
+    name: str = "mimic"  # "mimic" | "licv" | "lora" | "prefix-tuning"
     ce_loss_weight: float = 0.5
     align_loss_weight: float = 1.0
     lr: float = 5e-3
     scale_lr: Optional[float] = None  # LIVE uses 1e-2 for scale/log_Z1 params
     lora: Optional[LoraConfig] = None
+    prefix: Optional[PrefixConfig] = None
 
 
 @dataclass
@@ -179,6 +195,7 @@ _NESTED_TYPES = {
     "mesh": MeshConfig,
     "generation": GenerationConfig,
     "lora": LoraConfig,
+    "prefix": PrefixConfig,
 }
 
 

@@ -10,7 +10,7 @@ from __future__ import annotations
 
 from typing import Tuple
 
-from .core import EncoderConfig, LoraConfig, PeftConfig
+from .core import EncoderConfig, LoraConfig, PeftConfig, PrefixConfig
 
 
 def _mimic() -> Tuple[EncoderConfig, PeftConfig]:
@@ -77,6 +77,23 @@ def _mini_lora() -> Tuple[EncoderConfig, PeftConfig]:
     return enc, peft
 
 
+def _prefix_tuning() -> Tuple[EncoderConfig, PeftConfig]:
+    # the reference peft factory accepts "prefix-tuning" (src/utils.py:56-57)
+    # but ships no yaml for it — num_virtual_tokens/lr here are our documented
+    # choices (HF peft has no num_virtual_tokens default; prefix-tuning papers
+    # use 10-30 virtual tokens and lr in the 1e-3..1e-2 range)
+    return (
+        EncoderConfig(kind="none", model_strategy="Strategy.LM_LOSS", attn_strategy="", ffn_strategy=""),
+        PeftConfig(
+            name="prefix-tuning",
+            ce_loss_weight=1.0,
+            align_loss_weight=0.0,
+            lr=5e-3,
+            prefix=PrefixConfig(num_virtual_tokens=16),
+        ),
+    )
+
+
 def _attn_shift_ffn_mse() -> Tuple[EncoderConfig, PeftConfig]:
     return (
         EncoderConfig(
@@ -95,6 +112,7 @@ _PRESETS = {
     "licv": _licv,
     "lora": _lora,
     "mini_lora": _mini_lora,
+    "prefix-tuning": _prefix_tuning,
     "attn_shift_ffn_mse": _attn_shift_ffn_mse,
 }
 

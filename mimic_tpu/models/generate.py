@@ -38,27 +38,42 @@ class GenerateResult(NamedTuple):
     scores: jnp.ndarray  # [B] sequence scores (beam) or 0.0 (greedy)
 
 
-def _prefill(params, cfg, batch: LVLMBatch, total_len: int, shift, adapters, lora_scaling, logz2, dtype, attn_impl="xla"):
-    """Run the prompt through the model, returning (last_logits, cache, state)."""
+def _prefill(params, cfg, batch: LVLMBatch, total_len: int, shift, adapters, lora_scaling, logz2, dtype, attn_impl="xla", prefix=None):
+    """Run the prompt through the model, returning (last_logits, cache, state).
+
+    ``prefix``: prefix-tuning virtual KV ({"k","v"} [L,P,Hkv,Dh], see
+    ``shift/prefix.py``) — pre-written into cache slots [0, P); the prompt then
+    prefills through the cached two-part attention (every prompt token attends
+    the prefix) instead of the cache-empty fast path.  ``total_len`` includes P.
+    """
     B, T = batch.input_ids.shape
-    cache = init_kv_cache(cfg.text, B, total_len, dtype)
     image_feats = None
     if batch.pixel_values is not None:
         image_feats = encode_images(
             params, cfg, batch.pixel_values, batch.patch_mask, attn_impl=attn_impl
         )
+    if prefix is None:
+        cache = init_kv_cache(cfg.text, B, total_len, dtype)
+        extra = dict(kv_cache=cache, cache_empty=True)
+    else:
+        from ..shift.prefix import prefix_forward_args
+
+        P = prefix["k"].shape[1]
+        batch, pos, cache, _ = prefix_forward_args(
+            prefix, batch, dtype, extra_len=total_len - P - T
+        )
+        extra = dict(kv_cache=cache, position_ids=pos)
     out = lvlm_forward(
         params, cfg, batch,
         image_feats=image_feats,
-        kv_cache=cache,
         kv_total_len=total_len,
-        cache_empty=True,
         shift=shift,
         adapters=adapters,
         lora_scaling=lora_scaling,
         logz2=logz2,
         attn_impl=attn_impl,
         last_logit_only=True,
+        **extra,
     )
     last_logits = out.logits[:, -1]  # left padding → last position is the prompt end
     return last_logits, out.decoder.kv_cache, image_feats
@@ -83,21 +98,29 @@ def greedy_generate(
     logz2: str = "unmasked",
     attn_impl: str = "xla",
     decode_params=None,
+    prefix=None,
 ) -> GenerateResult:
     B, T = batch.input_ids.shape
-    total = T + max_new_tokens
+    from ..shift.prefix import prefix_len
+
+    P = prefix_len(prefix)  # prefix-tuning virtual slots lead the timeline
+    total = P + T + max_new_tokens
     # serving mode: prefill runs the full-precision tree at matmul roofline;
     # decode steps stream the int8 copy (weight HBM is the decode bound)
     dparams = decode_params if decode_params is not None else params
     dtype = _param_dtype(params)
     last_logits, cache, image_feats = _prefill(
         params, cfg, batch, total, shift, adapters, lora_scaling, logz2, dtype,
-        attn_impl,
+        attn_impl, prefix,
     )
 
     n_real = jnp.sum(batch.attention_mask, axis=-1)  # [B]
     mask_full = jnp.concatenate(
-        [batch.attention_mask, jnp.zeros((B, max_new_tokens), batch.attention_mask.dtype)],
+        [
+            jnp.ones((B, P), batch.attention_mask.dtype),
+            batch.attention_mask,
+            jnp.zeros((B, max_new_tokens), batch.attention_mask.dtype),
+        ],
         axis=-1,
     )
     # idefics1: generated tokens keep attending to the image of the last prompt token
@@ -110,7 +133,7 @@ def greedy_generate(
     def step(carry, i):
         tok, cache, mask_full, finished = carry
         tok = jnp.where(finished, pad_token_id, tok)
-        mask_full = mask_full.at[:, T + i].set(1)
+        mask_full = mask_full.at[:, P + T + i].set(1)
         step_batch = LVLMBatch(
             input_ids=tok[:, None],
             attention_mask=mask_full,
@@ -121,7 +144,7 @@ def greedy_generate(
         out = lvlm_forward(
             dparams, cfg, step_batch,
             image_feats=image_feats,
-            position_ids=(n_real + i)[:, None],
+            position_ids=(n_real + P + i)[:, None],
             kv_cache=cache,
             kv_total_len=total,
             shift=shift,
@@ -161,6 +184,7 @@ def beam_generate(
     attn_impl: str = "xla",
     decode_params=None,
     quant_kv: Optional[bool] = None,
+    prefix=None,
 ) -> GenerateResult:
     """HF-semantics beam search (do_sample=False, early_stopping=False).
 
@@ -168,12 +192,20 @@ def beam_generate(
     kv-head scales) and run decode-step attention over it through the
     dequant-fused Pallas kernel (``ops/decode_attention.py``) — halves the
     dominant per-step HBM read.  Defaults to on exactly when a separate int8
-    decode weight copy is in use (the opt-in serving modes; the bit-parity
-    default path never quantizes).
+    decode copy is in use AND the prompt region is long enough for the byte
+    saving to beat the extra per-layer kernel call (measured crossover in
+    ``scripts/bench_quant_kv_gate.py``).
+
+    ``prefix``: prefix-tuning virtual KV — P extra leading slots of the
+    beam-shared prompt region (``shift/prefix.py``).
     """
     B, T = batch.input_ids.shape
     K = num_beams
-    total = T + max_new_tokens
+    from ..shift.prefix import prefix_len
+
+    P = prefix_len(prefix)
+    Tp = P + T  # prompt-region slots (virtual prefix + real prompt)
+    total = Tp + max_new_tokens
     # serving mode: prefill runs the full-precision tree at matmul roofline;
     # decode steps stream the int8 copy (weight HBM is the decode bound)
     dparams = decode_params if decode_params is not None else params
@@ -181,7 +213,7 @@ def beam_generate(
 
     last_logits, cache, image_feats = _prefill(
         params, cfg, batch, total, shift, adapters, lora_scaling, logz2, dtype,
-        attn_impl,
+        attn_impl, prefix,
     )  # logits [B,V], cache leaves [L,B,S,...]
 
     V = last_logits.shape[-1]
@@ -197,26 +229,45 @@ def beam_generate(
     # reordering gathers just [L,B·K,max_new,·,·].
     L, _, _, Hkv, Dh = cache["k"].shape
     gen_shape = (L, B * K, max_new_tokens, Hkv, Dh)
-    prompt_k, prompt_v = cache["k"][:, :, :T], cache["v"][:, :, :T]
+    prompt_k, prompt_v = cache["k"][:, :, :Tp], cache["v"][:, :, :Tp]
     if quant_kv is None:
-        quant_kv = decode_params is not None
+        # measured crossover (scripts/bench_quant_kv_gate.py, v5e): the int8
+        # prompt-KV kernel wins from ~1k prompt slots (B8 T1024: 181→178 ms;
+        # B8 T2048: 382→376) and loses at the 512-slot eval protocol
+        # (B16 T512: 208→215 — per-layer kernel-call + quantize overhead beats
+        # the byte saving there)
+        quant_kv = decode_params is not None and Tp >= 1024
+    # Tq: prompt-region length in the decode timeline.  The int8 kernel needs
+    # 128-aligned blocks, so quantization pads the prompt region (zeros, masked
+    # out below) — e.g. the 8B protocol's 522-slot prompt becomes 640.  The
+    # pad columns are inserted between the prompt and generated regions of the
+    # timeline mask and never attended; RoPE positions count real tokens only.
+    Tq = Tp
+    cache_len = cache["length"]
     if (
         quant_kv
         and shift is None
         and cfg.text.sliding_window is None
         and Dh % 128 == 0
-        and T % 128 == 0
         and jax.default_backend() == "tpu"
     ):
         from ..ops.decode_attention import quantize_prompt_kv
+        from ..ops.quant import _round_up
 
+        Tq = _round_up(Tp, 128)
+        if Tq != Tp:
+            pad = ((0, 0), (0, 0), (0, Tq - Tp), (0, 0), (0, 0))
+            prompt_k = jnp.pad(prompt_k, pad)
+            prompt_v = jnp.pad(prompt_v, pad)
+            cache_len = cache_len + (Tq - Tp)
         prompt_k, prompt_v = quantize_prompt_kv(prompt_k, prompt_v)
+    total = Tq + max_new_tokens
     cache = {
         "prompt_k": prompt_k,
         "prompt_v": prompt_v,
         "k": jnp.zeros(gen_shape, cache["k"].dtype),
         "v": jnp.zeros(gen_shape, cache["v"].dtype),
-        "length": cache["length"],
+        "length": cache_len,
     }
     if image_feats is not None:
         image_feats = tile_beams(image_feats, 0)
@@ -229,7 +280,12 @@ def beam_generate(
     n_real = tile_beams(jnp.sum(batch.attention_mask, axis=-1), 0)  # [B*K]
     mask_full = tile_beams(
         jnp.concatenate(
-            [batch.attention_mask, jnp.zeros((B, max_new_tokens), batch.attention_mask.dtype)],
+            [
+                jnp.ones((B, P), batch.attention_mask.dtype),  # prefix slots
+                batch.attention_mask,
+                # (Tq - Tp) masked prompt-pad columns + the generated region
+                jnp.zeros((B, total - Tp), batch.attention_mask.dtype),
+            ],
             axis=-1,
         ),
         0,
@@ -288,7 +344,7 @@ def beam_generate(
 
     def step(state: _State, i):
         # i: index of the position being generated this step (1..max_new-1)
-        mask_full = state.mask_full.at[:, T + i - 1].set(1)
+        mask_full = state.mask_full.at[:, Tq + i - 1].set(1)
         flat_tok = state.last_tok.reshape(B * K)
         step_batch = LVLMBatch(
             input_ids=flat_tok[:, None],
@@ -300,7 +356,7 @@ def beam_generate(
         out = lvlm_forward(
             dparams, cfg, step_batch,
             image_feats=image_feats,
-            position_ids=(n_real + i - 1)[:, None],
+            position_ids=(n_real + P + i - 1)[:, None],
             kv_cache=state.cache,
             kv_total_len=total,
             shift=shift,
@@ -411,6 +467,7 @@ def sample_generate(
     logz2: str = "unmasked",
     attn_impl: str = "xla",
     decode_params=None,
+    prefix=None,
 ) -> GenerateResult:
     """Ancestral sampling with HF-style logits processing order:
     temperature → top-k → top-p (``do_sample=True`` path of the reference's
@@ -420,19 +477,26 @@ def sample_generate(
     per-sequence sum of sampled-token logprobs as ``scores``.
     """
     B, T = batch.input_ids.shape
-    total = T + max_new_tokens
+    from ..shift.prefix import prefix_len
+
+    P = prefix_len(prefix)
+    total = P + T + max_new_tokens
     # serving mode: prefill runs the full-precision tree at matmul roofline;
     # decode steps stream the int8 copy (weight HBM is the decode bound)
     dparams = decode_params if decode_params is not None else params
     dtype = _param_dtype(params)
     last_logits, cache, image_feats = _prefill(
         params, cfg, batch, total, shift, adapters, lora_scaling, logz2, dtype,
-        attn_impl,
+        attn_impl, prefix,
     )
 
     n_real = jnp.sum(batch.attention_mask, axis=-1)
     mask_full = jnp.concatenate(
-        [batch.attention_mask, jnp.zeros((B, max_new_tokens), batch.attention_mask.dtype)],
+        [
+            jnp.ones((B, P), batch.attention_mask.dtype),
+            batch.attention_mask,
+            jnp.zeros((B, max_new_tokens), batch.attention_mask.dtype),
+        ],
         axis=-1,
     )
     last_img_row = None
@@ -468,7 +532,7 @@ def sample_generate(
     def step(carry, i):
         tok, lp_sum, cache, mask_full, finished, rng = carry
         tok = jnp.where(finished, pad_token_id, tok)
-        mask_full = mask_full.at[:, T + i].set(1)
+        mask_full = mask_full.at[:, P + T + i].set(1)
         step_batch = LVLMBatch(
             input_ids=tok[:, None],
             attention_mask=mask_full,
@@ -479,7 +543,7 @@ def sample_generate(
         out = lvlm_forward(
             dparams, cfg, step_batch,
             image_feats=image_feats,
-            position_ids=(n_real + i)[:, None],
+            position_ids=(n_real + P + i)[:, None],
             kv_cache=cache,
             kv_total_len=total,
             shift=shift,

@@ -62,6 +62,7 @@ class LVLMRunner:
         self.shift = shift
         self.adapters = adapters
         self.lora_scaling = lora_scaling
+        self.prefix = None
         self.logz2 = logz2
         self.pad_multiple = pad_multiple
         self.length_buckets = tuple(length_buckets)
@@ -70,11 +71,16 @@ class LVLMRunner:
     def model_name(self) -> str:
         return self.cfg.name
 
-    def set_shift(self, shift, adapters=None, lora_scaling: float = 1.0) -> None:
-        """Activate trained shift/LoRA parameters for all subsequent forwards."""
+    def set_shift(
+        self, shift, adapters=None, lora_scaling: float = 1.0, prefix=None
+    ) -> None:
+        """Activate trained shift/LoRA/prefix parameters for all subsequent
+        forwards (the analog of register_shift_hooks staying active,
+        reference src/eval.py:52-61)."""
         self.shift = shift
         self.adapters = adapters
         self.lora_scaling = lora_scaling
+        self.prefix = prefix
 
     def set_quant(self, quant: Optional[str]) -> None:
         """(Re)build the weight-only int8 serving copy from the CURRENT params.
@@ -192,6 +198,7 @@ class LVLMRunner:
             # prefill runs the Pallas kernel on TPU (block-aligned via pad_multiple)
             attn_impl="flash" if jax.default_backend() == "tpu" else "xla",
             decode_params=self.decode_params,
+            prefix=self.prefix,
         )
         if do_sample:
             from .generate import sample_generate

@@ -64,27 +64,34 @@ def quantize_prompt_kv(
 
     One streaming pass over the prefilled prompt cache (run once per batch,
     amortized over max_new_tokens decode steps).  The [Hkv, Sp] transpose puts
-    each head's keys contiguous for the kernel's [bk, D] blocks.
+    each head's keys contiguous for the kernel's [bk, D] blocks.  Quantization
+    runs layer-by-layer (``lax.map``) so the f32 working set is one layer
+    (~tens of MB), not the full [L,B,T,Hkv,D] stack (~1.6 GB at 8B protocol
+    shapes — a transient that would not fit next to the int8 weight tree).
     """
     def one(x):
-        xt = jnp.transpose(x, (0, 1, 3, 2, 4))  # [L,B0,Hkv,Sp,D]
-        xf = xt.astype(jnp.float32)
-        amax = jnp.max(jnp.abs(xf), axis=-1, keepdims=True)
-        scale = jnp.where(amax > 0, amax / 127.0, 1.0)
-        q8 = jnp.clip(jnp.round(xf / scale), -127, 127).astype(jnp.int8)
-        return {"q8": q8, "scale": scale[..., 0]}
+        def per_layer(xl):  # [B0,Sp,Hkv,D]
+            xt = jnp.transpose(xl, (0, 2, 1, 3))  # [B0,Hkv,Sp,D]
+            xf = xt.astype(jnp.float32)
+            amax = jnp.max(jnp.abs(xf), axis=-1, keepdims=True)
+            scale = jnp.where(amax > 0, amax / 127.0, 1.0)
+            q8 = jnp.clip(jnp.round(xf / scale), -127, 127).astype(jnp.int8)
+            return q8, scale[..., 0]
+
+        q8, scale = jax.lax.map(per_layer, x)
+        return {"q8": q8, "scale": scale}
 
     return one(prompt_k), one(prompt_v)
 
 
 def _kernel(
     l_ref,      # [1] int32 scalar-prefetch: layer index
-    pm_ref,     # [1, bk] int32 prompt mask block
+    pm_ref,     # [1, 1, bk] int32 prompt mask block
     q_ref,      # [1, 1, Mp, D]
     k_ref,      # [1, 1, 1, bk, D] int8
-    ks_ref,     # [1, 1, 1, bk] f32
+    ks_ref,     # [1, 1, 1, 1, bk] f32
     v_ref,      # [1, 1, 1, bk, D] int8
-    vs_ref,     # [1, 1, 1, bk] f32
+    vs_ref,     # [1, 1, 1, 1, bk] f32
     o_ref,      # [1, 1, Mp, D] f32
     m_ref,      # [1, 1, Mp, 1] f32 (ln domain)
     lsum_ref,   # [1, 1, Mp, 1] f32
@@ -105,8 +112,8 @@ def _kernel(
         q, k8.astype(q.dtype), (((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
     )                                     # [Mp, bk], log2 domain
-    s = s * ks_ref[0, 0, 0][None, :]
-    mask = pm_ref[0] > 0
+    s = s * ks_ref[0, 0, 0, 0][None, :]
+    mask = pm_ref[0, 0] > 0
     s = jnp.where(mask[None, :], s, NEG)
 
     m_old = m_scr[:, 0]
@@ -114,7 +121,7 @@ def _kernel(
     p = jnp.exp2(s - m_new[:, None])      # fully-masked blocks self-correct:
     alpha = jnp.exp2(m_old - m_new)       # a later real block zeroes them via alpha
     l_scr[:, 0] = l_scr[:, 0] * alpha + jnp.sum(p, axis=-1)
-    pv = (p * vs_ref[0, 0, 0][None, :]).astype(q.dtype)
+    pv = (p * vs_ref[0, 0, 0, 0][None, :]).astype(q.dtype)
     v8 = v_ref[0, 0, 0]
     acc_scr[:] = acc_scr[:] * alpha[:, None] + jax.lax.dot_general(
         pv, v8.astype(q.dtype), (((1,), (0,)), ((), ())),
@@ -168,12 +175,15 @@ def prompt_attention_int8(
         num_scalar_prefetch=1,
         grid=grid,
         in_specs=[
-            pl.BlockSpec((1, bk), lambda b, h, jk, l: (b, jk)),
+            # mask/scales carry a unit sublane axis so the (sublane, lane)
+            # block dims are (1==full, bk%128==0) — Mosaic-legal (a bare
+            # (1, bk) over [B0, Sp] has sublane block 1 vs full B0: rejected)
+            pl.BlockSpec((1, 1, bk), lambda b, h, jk, l: (b, 0, jk)),
             pl.BlockSpec((1, 1, Mp, D), lambda b, h, jk, l: (b, h, 0, 0)),
             pl.BlockSpec((1, 1, 1, bk, D), lambda b, h, jk, l: (l[0], b, h, jk, 0)),
-            pl.BlockSpec((1, 1, 1, bk), lambda b, h, jk, l: (l[0], b, h, jk)),
+            pl.BlockSpec((1, 1, 1, 1, bk), lambda b, h, jk, l: (l[0], b, h, 0, jk)),
             pl.BlockSpec((1, 1, 1, bk, D), lambda b, h, jk, l: (l[0], b, h, jk, 0)),
-            pl.BlockSpec((1, 1, 1, bk), lambda b, h, jk, l: (l[0], b, h, jk)),
+            pl.BlockSpec((1, 1, 1, 1, bk), lambda b, h, jk, l: (l[0], b, h, 0, jk)),
         ],
         out_specs=[
             pl.BlockSpec((1, 1, Mp, D), lambda b, h, jk, l: (b, h, 0, 0)),
@@ -200,12 +210,12 @@ def prompt_attention_int8(
         interpret=interpret,
     )(
         jnp.atleast_1d(layer).astype(jnp.int32),
-        prompt_mask.astype(jnp.int32),
+        prompt_mask.astype(jnp.int32)[:, None, :],
         qf,
         q8k,
-        pk["scale"].astype(jnp.float32),
+        pk["scale"].astype(jnp.float32)[:, :, :, None, :],
         pv["q8"],
-        pv["scale"].astype(jnp.float32),
+        pv["scale"].astype(jnp.float32)[:, :, :, None, :],
     )
 
     def unfold(x):  # [B0,Hkv,Mp,...] -> [B,Hkv,G,1,...]

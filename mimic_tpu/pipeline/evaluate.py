@@ -123,12 +123,14 @@ def run_eval(
         if (
             runner.shift is None
             and runner.adapters is None
+            and getattr(runner, "prefix", None) is None
             and not getattr(runner, "_lora_merged", False)
         ):
             raise ValueError(
-                "Non-ICL eval requires the runner to carry trained shift params "
-                "(use load_trainable + runner.set_shift before run_eval, or pass "
-                "a template via EvalConfig and let the caller load it)."
+                "Non-ICL eval requires the runner to carry trained parameters "
+                "(shift/LoRA/prefix — use load_trainable + runner.set_shift "
+                "before run_eval, or pass a template via EvalConfig and let "
+                "the caller load it)."
             )
 
     rank, num_replicas = shard if shard is not None else _default_shard()

@@ -130,7 +130,10 @@ def _load_ckpt_into_runner(eval_cfg: EvalConfig, runner) -> None:
     else:
         runner.params = base
         runner._lora_merged = False
-    runner.set_shift(trainable.get("shift"), lora, lora_scaling)
+    runner.set_shift(
+        trainable.get("shift"), lora, lora_scaling,
+        prefix=trainable.get("prefix"),
+    )
 
 
 def _as_train_cfg(eval_cfg: EvalConfig) -> TrainConfig:

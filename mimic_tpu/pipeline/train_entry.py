@@ -30,8 +30,16 @@ def init_trainable(cfg: TrainConfig, text_cfg, key: jax.Array) -> Dict[str, Any]
         trainable["shift"] = init_shift_params(cfg.encoder, text_cfg, key)
     if cfg.peft.lora is not None:
         trainable["lora"] = init_lora_params(cfg.peft.lora, text_cfg, jax.random.fold_in(key, 1))
+    if cfg.peft.prefix is not None:
+        from ..shift.prefix import init_prefix_params
+
+        trainable["prefix"] = init_prefix_params(
+            cfg.peft.prefix, text_cfg, jax.random.fold_in(key, 2)
+        )
     if not trainable:
-        raise ValueError("Nothing to train: encoder kind 'none' and no LoRA config")
+        raise ValueError(
+            "Nothing to train: encoder kind 'none' and no LoRA/prefix config"
+        )
     return trainable
 
 

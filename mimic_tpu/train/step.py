@@ -32,6 +32,13 @@ def _to_device_batch(tb: TrainBatch) -> Dict[str, Any]:
     return out
 
 
+def _model_dtype(frozen) -> Any:
+    for leaf in jax.tree.leaves(frozen):
+        if jnp.issubdtype(leaf.dtype, jnp.floating) and leaf.dtype != jnp.float32:
+            return leaf.dtype
+    return jnp.float32
+
+
 def _query_lvlm_batch(b: Dict[str, Any]) -> LVLMBatch:
     return LVLMBatch(
         input_ids=b["query_ids"],
@@ -75,6 +82,7 @@ def compute_loss(
 ) -> Tuple[jnp.ndarray, Dict[str, jnp.ndarray]]:
     shift = trainable.get("shift") or None
     lora = trainable.get("lora") or None
+    prefix = trainable.get("prefix") or None
     ring_kwargs = ring_kwargs or {}
     loss = jnp.zeros((), jnp.float32)
     metrics: Dict[str, jnp.ndarray] = {}
@@ -98,12 +106,25 @@ def compute_loss(
     # both passes can run the Pallas kernel: the record pass is gradient-free and
     # the shift pass differentiates through flash_attention_diff's custom VJP
     pass2_impl = attn_impl
+    qb = _query_lvlm_batch(batch)
+    prefix_kwargs = {}
+    if prefix is not None:
+        # prefix-tuning: the learned KV rides as a pre-written cache (length P)
+        # and the forward takes the cached-attention path — all queries attend
+        # the P virtual slots, causal within the real block (HF past_key_values
+        # semantics); fully differentiable (broadcast + concat + einsums)
+        from ..shift.prefix import prefix_forward_args
+
+        qb, pos, cache, total = prefix_forward_args(
+            prefix, qb, _model_dtype(frozen)
+        )
+        prefix_kwargs = dict(position_ids=pos, kv_cache=cache, kv_total_len=total)
     out2 = lvlm_forward(
-        frozen, cfg, _query_lvlm_batch(batch),
+        frozen, cfg, qb,
         shift=shift, adapters=lora, lora_scaling=lora_scaling,
         lora_dropout=lora_dropout, dropout_rng=dropout_rng,
         multi_head=mh, capture_attn=rec_attn, capture_ffn=rec_ffn, logz2=logz2,
-        attn_impl=pass2_impl, **ring_kwargs,
+        attn_impl=pass2_impl, **ring_kwargs, **prefix_kwargs,
         capture_gather_idx=batch.get("shift_q_idx") if layer_wise else None,
     )
 

@@ -288,6 +288,138 @@ def test_beam_decode_flash_prefill():
 
 
 @requires_tpu
+def test_prompt_attention_int8_compiled():
+    """Compiled int8 prompt-KV decode kernel at protocol shapes (B0=16, Hkv=8,
+    Sp=512, D=128, beam 3) == its own interpret-mode result (same int8 values).
+    This is the kernel that shipped round 2 with a Mosaic-illegal BlockSpec —
+    never merge a Pallas kernel without a compiled-tier test."""
+    from mimic_tpu.ops.decode_attention import (
+        prompt_attention_int8, quantize_prompt_kv,
+    )
+
+    B0, Kb, Hkv, G, D, Sp, L = 16, 3, 8, 4, 128, 512, 2
+    B = B0 * Kb
+    keys = jax.random.split(jax.random.PRNGKey(0), 3)
+    pk = jax.random.normal(keys[0], (L, B0, Sp, Hkv, D), jnp.bfloat16)
+    pv = jax.random.normal(keys[1], (L, B0, Sp, Hkv, D), jnp.bfloat16)
+    qg = jax.random.normal(keys[2], (B, 1, Hkv, G, D), jnp.bfloat16) / np.sqrt(D)
+    # left padding + a masked tail (the 128-alignment pad of a 522-slot prompt)
+    mask = jnp.ones((B0, Sp), jnp.int32).at[:, :32].set(0).at[:, -64:].set(0)
+
+    pkq, pvq = quantize_prompt_kv(pk, pv)
+    args = (qg, dict(pkq, layer=jnp.int32(1)), dict(pvq, layer=jnp.int32(1)), mask)
+    o_c, m_c, l_c = jax.jit(
+        lambda *a: prompt_attention_int8(*a, interpret=False)
+    )(*args)
+    o_i, m_i, l_i = jax.jit(
+        lambda *a: prompt_attention_int8(*a, interpret=True)
+    )(*args)
+    np.testing.assert_allclose(np.asarray(m_c), np.asarray(m_i), rtol=0, atol=1e-3)
+    np.testing.assert_allclose(np.asarray(l_c), np.asarray(l_i), rtol=1e-2, atol=1e-3)
+    np.testing.assert_allclose(
+        np.asarray(o_c), np.asarray(o_i), rtol=2e-2, atol=2e-2
+    )
+
+
+@requires_tpu
+def test_w8a8_matmul_compiled():
+    """Compiled int8×int8-MXU matmul (flat + stacked scalar-prefetch variants)
+    == the fp32 dequant reference within int8 rounding error."""
+    from mimic_tpu.ops.quant import w8a8_matmul, w8a8_matmul_stacked
+
+    rng = np.random.default_rng(0)
+    M, K, N, L = 512, 1024, 768, 2
+    x = rng.normal(size=(M, K)).astype(np.float32)
+    xs = np.abs(x).max(axis=1) / 127.0
+    x8 = jnp.asarray(np.clip(np.round(x / xs[:, None]), -127, 127), jnp.int8)
+    w = rng.normal(size=(L, K, N)).astype(np.float32)
+    ws = np.abs(w).max(axis=1) / 127.0  # [L, N]
+    w8 = jnp.asarray(np.clip(np.round(w / ws[:, None, :]), -127, 127), jnp.int8)
+
+    want0 = (np.asarray(x8, np.float32) * xs[:, None]) @ (
+        np.asarray(w8[0], np.float32) * ws[0][None, :]
+    )
+    got = np.asarray(
+        jax.jit(w8a8_matmul)(x8, jnp.asarray(xs), w8[0], jnp.asarray(ws[0])),
+        np.float32,
+    )
+    denom = max(np.abs(want0).max(), 1.0)
+    assert np.abs(got - want0).max() / denom < 2e-2
+
+    for layer in (0, L - 1):
+        got = np.asarray(
+            jax.jit(w8a8_matmul_stacked)(
+                x8, jnp.asarray(xs), w8, jnp.asarray(ws), jnp.int32(layer)
+            ),
+            np.float32,
+        )
+        want = (np.asarray(x8, np.float32) * xs[:, None]) @ (
+            np.asarray(w8[layer], np.float32) * ws[layer][None, :]
+        )
+        denom = max(np.abs(want).max(), 1.0)
+        assert np.abs(got - want).max() / denom < 2e-2, f"layer={layer}"
+
+
+@requires_tpu
+def test_decode_step_quant_kv_logits_match_bf16():
+    """Compiled decode step with the int8 prompt-KV path ON, through a
+    NON-128-aligned prompt (T=100 → the timeline 128-repad engages): logits
+    match the bf16 prompt path within int8 noise.  (Token-level beam parity is
+    not asserted — on a random-init model all logits sit within ~1 of each
+    other, so 1e-2 quantization noise legitimately flips near-tied beams.)"""
+    from mimic_tpu.models.decoder import init_kv_cache
+    from mimic_tpu.models.lm import init_lm_params
+    from mimic_tpu.models.lvlm import LVLMBatch, lvlm_forward
+    from mimic_tpu.ops.decode_attention import quantize_prompt_kv
+    from mimic_tpu.ops.quant import _round_up
+
+    cfg = _text_cfg()
+    params = {"lm": init_lm_params(cfg.text, jax.random.PRNGKey(0), dtype=jnp.bfloat16)}
+    B, T, new = 2, 100, 4
+    rng = np.random.default_rng(0)
+    ids = rng.integers(3, 500, size=(B, T)).astype(np.int32)
+    mask = np.ones((B, T), np.int32)
+    mask[0, :7] = 0  # left padding
+    batch = LVLMBatch(input_ids=jnp.asarray(ids), attention_mask=jnp.asarray(mask))
+
+    total = T + new
+    cache0 = init_kv_cache(cfg.text, B, total, jnp.bfloat16)
+    out = jax.jit(lambda p, b, c: lvlm_forward(
+        p, cfg, b, kv_cache=c, kv_total_len=total, cache_empty=True
+    ))(params, batch, cache0)
+    cache0 = out.decoder.kv_cache
+    tok = jnp.argmax(out.logits[:, -1], axis=-1).astype(jnp.int32)
+    n_real = jnp.sum(batch.attention_mask, axis=-1)
+    L, _, _, Hkv, Dh = cache0["k"].shape
+    prompt_k, prompt_v = cache0["k"][:, :, :T], cache0["v"][:, :, :T]
+
+    logits = {}
+    for quant in (False, True):
+        pk, pv, Tq, clen = prompt_k, prompt_v, T, cache0["length"]
+        if quant:
+            Tq = _round_up(T, 128)
+            pad = ((0, 0), (0, 0), (0, Tq - T), (0, 0), (0, 0))
+            pk, pv = jnp.pad(pk, pad), jnp.pad(pv, pad)
+            clen = clen + (Tq - T)
+            pk, pv = quantize_prompt_kv(pk, pv)
+        gen = jnp.zeros((L, B, new, Hkv, Dh), jnp.bfloat16)
+        c = {"prompt_k": pk, "prompt_v": pv, "k": gen, "v": gen, "length": clen}
+        mask_full = jnp.concatenate(
+            [batch.attention_mask, jnp.zeros((B, Tq - T + new), jnp.int32)],
+            axis=-1,
+        ).at[:, Tq].set(1)
+        step_batch = LVLMBatch(input_ids=tok[:, None], attention_mask=mask_full)
+        out2 = jax.jit(lambda p, b, c, tq=Tq: lvlm_forward(
+            p, cfg, b, position_ids=n_real[:, None], kv_cache=c,
+            kv_total_len=tq + new,
+        ))(params, step_batch, c)
+        logits[quant] = np.asarray(out2.logits[:, -1], np.float32)
+
+    np.testing.assert_allclose(logits[True], logits[False], rtol=0, atol=3e-2)
+    assert (logits[True].argmax(-1) == logits[False].argmax(-1)).all()
+
+
+@requires_tpu
 @pytest.mark.parametrize("D", [128, 72])
 def test_onepass_forward_compiled(D):
     """Compiled one-shot kernel (short-sequence dispatch target) == XLA sdpa,
