@@ -16,11 +16,22 @@ Measures on one TPU chip:
    T=2048 / shift T=256, batch 2) as model-FLOPs utilization against the v5e
    bf16 peak (197 TF/s), FLOPs taken from XLA's compiled cost analysis.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", "mfu",
-"extra_metrics", "detail"}.  ``vs_baseline`` compares the headline against the
-previous recorded BENCH_r*.json value (the reference publishes no numbers —
-BASELINE.json "published": {}).  The 8B and mfu sections are fail-soft: an
-error there records a null, never kills the headline metric.
+Output protocol (timeout-proof, round-4 redesign): after EVERY section the
+full cumulative JSON line {"metric", "value", "unit", "vs_baseline", "mfu",
+"extra_metrics", "detail"} is printed and flushed, with not-yet-measured
+sections null.  The LAST printed line is therefore always the most complete
+result — if the driver's timeout kills the process mid-run, everything
+measured so far is still on stdout, instead of losing the whole round like
+``BENCH_r03.json`` (rc 124, parsed null) did.  ``vs_baseline`` compares the
+headline against the previous recorded BENCH_r*.json value (the reference
+publishes no numbers — BASELINE.json "published": {}).  Every non-headline
+section is fail-soft: an error records a null, never kills earlier metrics.
+
+Wall-clock control: ``BENCH_DEADLINE_S`` (default 2700) is a soft total
+budget — a section whose estimated cost exceeds the remaining budget is
+skipped (recorded as null) rather than risking the driver's hard timeout.
+A persistent XLA compilation cache at ``.jax_cache/`` makes repeat runs
+(including the driver's end-of-round run) nearly compile-free.
 """
 
 from __future__ import annotations
@@ -31,6 +42,31 @@ import sys
 import time
 
 import numpy as np
+
+_T0 = time.perf_counter()
+_DEADLINE = float(os.environ.get("BENCH_DEADLINE_S", "2700"))
+
+
+def _elapsed() -> float:
+    return time.perf_counter() - _T0
+
+
+def _budget_left() -> float:
+    return _DEADLINE - _elapsed()
+
+
+def enable_compile_cache():
+    """Persistent XLA compile cache (verified working on the axon backend:
+    cross-process recompile of a cached program drops ~0.97s -> 0.07s)."""
+    import jax
+
+    cache_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache")
+    try:
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+    except Exception as e:  # never let cache setup kill the bench
+        print(f"# compile cache unavailable: {e}", file=sys.stderr)
 
 
 def build_bench_model():
@@ -177,13 +213,41 @@ def measure_train_mfu():
     }
 
 
+class Result:
+    """Cumulative result record; re-printed (flushed) after every section."""
+
+    def __init__(self):
+        self.doc = {
+            "metric": "eval_query_throughput_idefics2_1b_beam3",
+            "value": None,
+            "unit": "queries/sec/chip",
+            "vs_baseline": None,
+            "mfu": None,
+            "extra_metrics": {
+                "eval_query_throughput_int8_serving_mode": None,
+                "eval_query_throughput_idefics2_8b_int8_1chip": None,
+                "train_step_ms_1p2b_dualpass": None,
+                "train_step_tf_per_s": None,
+            },
+            "detail": {},
+        }
+
+    def emit(self, section: str):
+        self.doc["detail"]["elapsed_s"] = round(_elapsed(), 1)
+        self.doc["detail"]["last_section"] = section
+        print(json.dumps(self.doc), flush=True)
+
+
 def main():
+    enable_compile_cache()
+
     import jax
     import jax.numpy as jnp
 
     from mimic_tpu.models.generate import beam_generate
     from mimic_tpu.models.lvlm import LVLMBatch
 
+    res = Result()
     cfg, params, tk = build_bench_model()
     n_params = sum(int(np.prod(p.shape)) for p in jax.tree.leaves(params))
 
@@ -243,10 +307,24 @@ def main():
     dt = max(time.perf_counter() - t0 - rtt, 1e-6)
     qps = B * iters / dt
 
+    baseline = _previous_value()
+    res.doc["value"] = round(qps, 3)
+    res.doc["vs_baseline"] = round(qps / baseline, 3) if baseline else 1.0
+    res.doc["detail"].update(
+        {
+            "params": n_params,
+            "batch": B,
+            "prompt_len": T,
+            "beams": 3,
+            "new_tokens": 10,
+            "backend": jax.default_backend(),
+        }
+    )
+    res.emit("headline")
+
     # int8 serving mode (opt-in, not bit-parity): bf16 prefill + fused int8
     # decode copy — the production single-chip serving configuration
-    qps_int8 = None
-    if jax.default_backend() == "tpu":
+    if jax.default_backend() == "tpu" and _budget_left() > 120:
         try:
             from mimic_tpu.ops.quant import quantize_lm_params
 
@@ -256,10 +334,13 @@ def main():
             for _ in range(iters):
                 last = run8()
             sync(last)
-            qps_int8 = round(B * iters / max(time.perf_counter() - t0 - rtt, 1e-6), 3)
+            res.doc["extra_metrics"]["eval_query_throughput_int8_serving_mode"] = round(
+                B * iters / max(time.perf_counter() - t0 - rtt, 1e-6), 3
+            )
             del run8
         except Exception as e:
             print(f"# int8 serving section failed: {type(e).__name__}: {e}", file=sys.stderr)
+    res.emit("int8")
 
     # free the small model before the 8B build (it needs the HBM headroom)
     del params, batch, small, last, run
@@ -267,53 +348,31 @@ def main():
 
     gc.collect()
 
-    mfu_info = None
-    try:
-        mfu_info = measure_train_mfu()
-    except Exception as e:  # fail-soft: never lose the headline metric
-        print(f"# mfu section failed: {type(e).__name__}: {e}", file=sys.stderr)
+    if _budget_left() > 120:
+        try:
+            mfu_info = measure_train_mfu()
+            res.doc["mfu"] = mfu_info.get("mfu")
+            res.doc["extra_metrics"]["train_step_ms_1p2b_dualpass"] = mfu_info.get("step_ms")
+            res.doc["extra_metrics"]["train_step_tf_per_s"] = mfu_info.get("tf_per_s")
+        except Exception as e:  # fail-soft: never lose the headline metric
+            print(f"# mfu section failed: {type(e).__name__}: {e}", file=sys.stderr)
+    res.emit("mfu")
 
-    qps_8b = None
-    if jax.default_backend() == "tpu" and not os.environ.get("BENCH_SKIP_8B"):
+    if (
+        jax.default_backend() == "tpu"
+        and not os.environ.get("BENCH_SKIP_8B")
+        and _budget_left() > 300
+    ):
         try:
             sys.path.insert(0, os.path.join(os.path.dirname(__file__), "scripts"))
             from bench_8b_serving import run_8b_bench
 
-            qps_8b = round(run_8b_bench(w8a8=True)["qps"], 3)
+            res.doc["extra_metrics"]["eval_query_throughput_idefics2_8b_int8_1chip"] = round(
+                run_8b_bench(w8a8=True)["qps"], 3
+            )
         except Exception as e:
             print(f"# 8B section failed: {type(e).__name__}: {e}", file=sys.stderr)
-
-    baseline = _previous_value()
-    vs = qps / baseline if baseline else 1.0
-    print(
-        json.dumps(
-            {
-                "metric": "eval_query_throughput_idefics2_1b_beam3",
-                "value": round(qps, 3),
-                "unit": "queries/sec/chip",
-                "vs_baseline": round(vs, 3),
-                "mfu": mfu_info.get("mfu") if mfu_info else None,
-                "extra_metrics": {
-                    "eval_query_throughput_int8_serving_mode": qps_int8,
-                    "eval_query_throughput_idefics2_8b_int8_1chip": qps_8b,
-                    "train_step_ms_1p2b_dualpass": (
-                        mfu_info.get("step_ms") if mfu_info else None
-                    ),
-                    "train_step_tf_per_s": (
-                        mfu_info.get("tf_per_s") if mfu_info else None
-                    ),
-                },
-                "detail": {
-                    "params": n_params,
-                    "batch": B,
-                    "prompt_len": T,
-                    "beams": 3,
-                    "new_tokens": 10,
-                    "backend": jax.default_backend(),
-                },
-            }
-        )
-    )
+    res.emit("final")
 
 
 def _previous_value():
