@@ -9,9 +9,10 @@ tagger, WordNet lemmatizer) and the ``inflection`` package — none of which can
 their data files here — so this module implements:
 
 - a PTB-style word tokenizer (shared rules with ``ptb_tokenizer``)
-- a rule-based ``-ing`` verb lemmatizer following WordNet's morphy suffix rules
-  (``ing → ''`` with consonant un-doubling, ``ing → e`` restoration) plus WordNet's
-  irregular-verb exception list for common caption/VQA vocabulary
+- NLTK's exact WordNet-morphy verb lemmatization algorithm over vendored
+  verb.exc / index.verb tables (``wordnet_morphy.py``; the algorithm is
+  machine-diffed against the installed NLTK implementation, including its
+  shortest-lemma selection — hoping → hop, not hope)
 - the Rails/``inflection`` singularization rule set (public, well-defined rules)
 - a plural-noun heuristic standing in for the POS tagger: a token is treated as
   NNS/NNPS when it ends in ``s`` but not ``ss``/``us``/``'s`` and is not
@@ -92,121 +93,11 @@ MANUAL_MATCHES = {
     "sometimes": "sometime", "earing": "ear",
 }
 
-# WordNet irregular "-ing" verb exceptions (morphy ``ing → e`` restorations and
-# verb.exc entries relevant to everyday vocabulary; WordNet's lemmatizer picks
-# whichever candidate exists in its verb index — these encode that lexicon
-# lookup for the VQA-answer vocabulary).
-_ING_EXCEPTIONS = {
-    "lying": "lie", "dying": "die", "tying": "tie", "vying": "vie",
-    "being": "be", "having": "have", "doing": "do", "going": "go",
-    "saying": "say", "seeing": "see", "making": "make", "taking": "take",
-    "coming": "come", "giving": "give", "using": "use", "living": "live",
-    "moving": "move", "riding": "ride", "writing": "write", "driving": "drive",
-    "hiding": "hide", "rising": "rise", "sliding": "slide", "smiling": "smile",
-    "skating": "skate", "baking": "bake", "biking": "bike", "diving": "dive",
-    "racing": "race", "serving": "serve", "shining": "shine", "waving": "wave",
-    "surfing": "surf", "singing": "sing", "swinging": "swing",
-    "bringing": "bring", "hanging": "hang", "belonging": "belong",
-    "longing": "long", "springing": "spring", "stringing": "string",
-    "winging": "wing", "kinging": "king", "pinging": "ping",
-    # ing → e restorations (base verb with silent e in WordNet's index)
-    "icing": "ice", "dancing": "dance", "hiking": "hike", "skiing": "ski",
-    "juggling": "juggle", "cycling": "cycle", "recycling": "recycle",
-    "wrestling": "wrestle", "whistling": "whistle", "paddling": "paddle",
-    "snuggling": "snuggle", "smuggling": "smuggle", "struggling": "struggle",
-    "sparkling": "sparkle", "gambling": "gamble", "angling": "angle",
-    "bouncing": "bounce", "gliding": "glide", "grazing": "graze",
-    "posing": "pose", "dozing": "doze", "snoozing": "snooze",
-    "sneezing": "sneeze", "freezing": "freeze", "squeezing": "squeeze",
-    "breathing": "breathe", "bathing": "bathe", "chasing": "chase",
-    "closing": "close", "gazing": "gaze", "blazing": "blaze",
-    "waking": "wake", "shaking": "shake", "braking": "brake",
-    "trading": "trade", "fading": "fade", "wading": "wade",
-    "raking": "rake", "caring": "care", "sharing": "share",
-    "staring": "stare", "glaring": "glare", "firing": "fire",
-    "hiring": "hire", "wiring": "wire", "tiring": "tire",
-    "storing": "store", "scoring": "score", "snoring": "snore",
-    "exploring": "explore", "ignoring": "ignore", "adoring": "adore",
-    "poring": "pore", "curing": "cure", "luring": "lure",
-    "measuring": "measure", "pouring": "pour", "touring": "tour",
-    "styling": "style", "smoking": "smoke", "joking": "joke",
-    "poking": "poke", "stroking": "stroke", "choking": "choke",
-    "hoping": "hope", "coping": "cope", "taping": "tape",
-    "escaping": "escape", "shaping": "shape", "scraping": "scrape",
-    "tracing": "trace", "placing": "place", "spacing": "space",
-    "slicing": "slice", "pricing": "price", "splicing": "splice",
-    "juicing": "juice", "saucing": "sauce", "prancing": "prance",
-    "glancing": "glance", "balancing": "balance", "fencing": "fence",
-    "piercing": "pierce", "forcing": "force", "divorcing": "divorce",
-    "announcing": "announce", "pronouncing": "pronounce",
-    "producing": "produce", "reducing": "reduce", "introducing": "introduce",
-    "managing": "manage", "charging": "charge", "merging": "merge",
-    "urging": "urge", "surging": "surge", "lunging": "lunge",
-    "lounging": "lounge", "dodging": "dodge", "judging": "judge",
-    "bridging": "bridge", "edging": "edge", "nudging": "nudge",
-    "raging": "rage", "paging": "page", "staging": "stage",
-    "caging": "cage", "waging": "wage", "engaging": "engage",
-    "arranging": "arrange", "changing": "change", "exchanging": "exchange",
-    "ranging": "range", "hinging": "hinge", "cringing": "cringe",
-    "plunging": "plunge", "sponging": "sponge", "binging": "binge",
-    "baling": "bale", "scaling": "scale", "whaling": "whale",
-    "filing": "file", "piling": "pile",
-    "tiling": "tile", "compiling": "compile", "riling": "rile",
-    "ruling": "rule", "scheduling": "schedule",
-    "saving": "save", "shaving": "shave", "paving": "pave",
-    "craving": "crave", "behaving": "behave", "carving": "carve",
-    "solving": "solve", "involving": "involve", "revolving": "revolve",
-    "evolving": "evolve", "weaving": "weave", "leaving": "leave",
-    "believing": "believe", "receiving": "receive", "achieving": "achieve",
-    "relieving": "relieve", "retrieving": "retrieve", "grieving": "grieve",
-    "approving": "approve", "improving": "improve", "proving": "prove",
-    "removing": "remove", "starving": "starve",
-    "swerving": "swerve", "observing": "observe", "reserving": "reserve",
-    "preserving": "preserve", "deserving": "deserve", "curving": "curve",
-    "arguing": "argue", "rescuing": "rescue", "queuing": "queue",
-    "gluing": "glue", "suing": "sue", "pursuing": "pursue",
-    "continuing": "continue", "valuing": "value", "issuing": "issue",
-    "tasting": "taste", "wasting": "waste", "pasting": "paste",
-    "basting": "baste", "skateboarding": "skateboard",
-    # base verbs that themselves end in -ing (present in WordNet's verb index,
-    # so the lemmatizer returns them unchanged)
-    "spring": "spring", "string": "string", "bring": "bring",
-    "swing": "swing", "cling": "cling", "fling": "fling",
-    "sting": "sting", "sling": "sling", "wring": "wring",
-    # -ing nouns with no verb reading reachable by morphy's rules or
-    # exceptions: WordNet's lemmatizer returns the word unchanged
-    "thing": "thing", "something": "something", "anything": "anything",
-    "everything": "everything", "nothing": "nothing",
-    "lightning": "lightning", "sibling": "sibling", "duckling": "duckling",
-    "dumpling": "dumpling", "darling": "darling", "herring": "herring",
-    "inning": "inning", "viking": "viking", "offspring": "offspring",
-    "earring": "earring", "gosling": "gosling",
-    "during": "during",
-}
-
-_VOWELS = set("aeiou")
-
-
-def lemmatize_ing(word: str) -> str:
-    """Rule-based verb lemmatization for ``-ing`` forms (WordNet morphy rules)."""
-    if word in _ING_EXCEPTIONS:
-        return _ING_EXCEPTIONS[word]
-    if not word.endswith("ing") or len(word) <= 4:
-        return word
-    stem = word[:-3]
-    # doubled final consonant: running → run (but not for ll/ss/zz-final stems or
-    # words like "falling" where the double letter is part of the base)
-    if (
-        len(stem) >= 3
-        and stem[-1] == stem[-2]
-        and stem[-1] not in _VOWELS
-        and stem[-1] not in "lsz"
-    ):
-        return stem[:-1]
-    # CVCe restoration: 'taking'-style handled by exceptions; generic rule:
-    # consonant + single vowel + consonant stem of short words often needs 'e'
-    # (WordNet checks the lexicon; without it, prefer the bare stem)
-    return stem
+# The -ing branch delegates to the vendored WordNet morphy lemmatizer
+# (``wordnet_morphy.py``): NLTK's exact ``_morphy`` + shortest-lemma selection
+# over vendored verb.exc / index.verb tables, machine-checked against the
+# installed NLTK algorithm by ``tests/test_wordnet_morphy_parity.py``.
+from .wordnet_morphy import lemmatize_verb
 
 
 # Rails ActiveSupport / `inflection` package singularization rules (public rule set).
@@ -328,7 +219,7 @@ class OKVQAStemmer:
             if w in MANUAL_MATCHES:
                 w = MANUAL_MATCHES[w]
             elif w.endswith("ing"):
-                w = lemmatize_ing(w)
+                w = lemmatize_verb(w)
             elif _looks_plural_noun(w):
                 w = singularize(w)
             out.append(w)

@@ -45,6 +45,14 @@ def _prefill(params, cfg, batch: LVLMBatch, total_len: int, shift, adapters, lor
     ``shift/prefix.py``) — pre-written into cache slots [0, P); the prompt then
     prefills through the cached two-part attention (every prompt token attends
     the prefix) instead of the cache-empty fast path.  ``total_len`` includes P.
+
+    Known limit of the prefix path: cached two-part attention materializes the
+    full [B,Hkv,G,T,S] f32 score tensor, so prefix + multi-thousand-token
+    prompts can transiently need multiple GB of HBM (the non-prefix prefill
+    streams through the Pallas flash kernel instead).  Fine at the reference
+    eval protocol (T=512); for long-ICL prefix serving, prefill without the
+    prefix and add it as extra leading cache slots via a flash pass over the
+    real block merged by logsumexp — not implemented until a protocol needs it.
     """
     B, T = batch.input_ids.shape
     image_feats = None
@@ -239,9 +247,12 @@ def beam_generate(
         quant_kv = decode_params is not None and Tp >= 1024
     # Tq: prompt-region length in the decode timeline.  The int8 kernel needs
     # 128-aligned blocks, so quantization pads the prompt region (zeros, masked
-    # out below) — e.g. the 8B protocol's 522-slot prompt becomes 640.  The
-    # pad columns are inserted between the prompt and generated regions of the
-    # timeline mask and never attended; RoPE positions count real tokens only.
+    # out below) — e.g. a 1030-slot ICL prompt becomes 1152.  (Under the
+    # default gate above, sub-1024 prompts such as the 8B protocol's 522 slots
+    # never take the quant path; the repad branch is reachable for non-aligned
+    # prompts ≥ 1024 or an explicit quant_kv=True.)  The pad columns are
+    # inserted between the prompt and generated regions of the timeline mask
+    # and never attended; RoPE positions count real tokens only.
     Tq = Tp
     cache_len = cache["length"]
     if (
