@@ -169,6 +169,9 @@ def cached_attention(
     if quant_prompt:
         # int8 prompt KV (serving mode): the Pallas kernel below handles the
         # whole prompt region; only the thin generated/current parts run here
+        from .decoder import ATTN_PATH_LOG
+
+        ATTN_PATH_LOG.append("quant_kv")  # trace-time: tests assert the path ran
         if window is not None or need_unmasked:
             raise NotImplementedError(
                 "int8 prompt KV supports plain causal decode only "

@@ -14,8 +14,18 @@ TPU serving shape once a model fits one chip:
   block is spliced into a free slot.  Mixed prompt lengths stop costing
   max-length padding for the whole batch — the static-batch tax this engine
   exists to remove.
-- Everything runs on one device stream: the host loop interleaves admissions
-  with blocks of decode steps and syncs once per block, not per token.
+- **Zero mid-flight host syncs** (round-4 redesign): slot lifetimes are
+  DETERMINISTIC — a request occupies its slot for exactly
+  ``ceil((max_new_tokens-1)/decode_block)`` decode blocks, EOS or not — so the
+  host schedules every admission and decode block without reading anything
+  back from the device.  EOS is handled *in-program* (a per-slot ``finished``
+  flag pads subsequent tokens, same semantics as ``greedy_generate``) and the
+  generated tokens are pulled in ONE device→host sync at the end of ``run()``.
+  On a remote-tunnel TPU this is the difference between RTT-bound (~2 q/s)
+  and device-bound throughput; on a local chip it removes the per-block
+  latency bubble.  The cost: a slot whose request hits EOS early is not
+  reclaimed until its scheduled blocks elapse — at serving protocols
+  (max_new_tokens 10-20) at most one block of slack.
 
 Greedy decode (serving); the MimIC shift stays active when ``shift`` is set
 (μ-gate consumes the masked log-normalizer — empty slot positions are not real
@@ -93,38 +103,49 @@ class ServeEngine:
                 break
         L = cfg.text.num_layers
         Hkv, Dh = cfg.text.num_kv_heads, cfg.text.head_size
+        # slot S (one extra) is a scratch slot: admission waves pad their row
+        # count to powers of two (bounding compiled program variants) and the
+        # pad rows splice into the scratch slot, never scheduled for decode
+        self.Sp = self.S + 1
         self._cache = {
-            "k": jnp.zeros((L, self.S, self.T, Hkv, Dh), dtype),
-            "v": jnp.zeros((L, self.S, self.T, Hkv, Dh), dtype),
+            "k": jnp.zeros((L, self.Sp, self.T, Hkv, Dh), dtype),
+            "v": jnp.zeros((L, self.Sp, self.T, Hkv, Dh), dtype),
             "length": jnp.asarray(self.T, jnp.int32),
         }
-        # per-slot host state
+        # per-slot host state (deterministic schedule — never read from device)
         self._len = np.zeros(self.S, np.int32)        # tokens incl. next input
         self._alive = np.zeros(self.S, bool)
-        self._budget = np.zeros(self.S, np.int32)
-        self._req: List[Optional[ServeResult]] = [None] * self.S
+        self._blocks_left = np.zeros(self.S, np.int64)
         # device-side per-slot state
-        self._valid = jnp.zeros((self.S, self.T + 1), jnp.int32)
-        self._tok = jnp.zeros((self.S,), jnp.int32)
-        self._pos = jnp.zeros((self.S,), jnp.int32)   # cache write column
-        self._rpos = jnp.zeros((self.S,), jnp.int32)  # RoPE position (real tokens)
+        self._valid = jnp.zeros((self.Sp, self.T + 1), jnp.int32)
+        self._tok = jnp.zeros((self.Sp,), jnp.int32)
+        self._pos = jnp.zeros((self.Sp,), jnp.int32)  # cache write column
+        self._rpos = jnp.zeros((self.Sp,), jnp.int32)  # RoPE position (real tokens)
+        self._fin = jnp.zeros((self.Sp,), bool)       # in-program EOS flag
         self._uid = itertools.count()
         self._pending: List[ServeRequest] = []
-        self._done: List[ServeResult] = []
+        # claims: (uid, first_ref=(wave_idx, row), start_chunk, budget, slot)
+        self._claims: List[tuple] = []
+        self._firsts: List[jnp.ndarray] = []          # per-admission first tokens
+        self._chunks: List[jnp.ndarray] = []          # per-block toks [block, S]
 
     # -- compiled programs ---------------------------------------------------
 
-    @partial(jax.jit, static_argnums=(0,), donate_argnums=(3, 4, 5, 6, 7))
-    def _decode_steps(self, dparams, shift, cache, valid, tok, pos, rpos):
+    @partial(jax.jit, static_argnums=(0,), donate_argnums=(3, 4, 5, 6, 7, 8))
+    def _decode_steps(self, dparams, shift, cache, valid, tok, pos, rpos, fin):
         """Advance every slot ``decode_block`` tokens in one program.
 
         ``pos`` is the cache write column (prompt bucket + generated count);
         ``rpos`` is the RoPE position (count of REAL tokens — left padding
         does not advance it), matching ``positions_from_mask`` semantics.
+        ``fin`` carries EOS in-program (``greedy_generate`` semantics: once a
+        slot emits EOS, every later token is pad) so the host never reads
+        tokens mid-flight.
         """
+        pad = self.cfg.pad_token_id
 
         def one(carry, _):
-            cache, valid, tok, pos, rpos = carry
+            cache, valid, tok, pos, rpos, fin = carry
             batch = LVLMBatch(input_ids=tok[:, None], attention_mask=valid)
             out = lvlm_forward(
                 dparams, self.cfg, batch,
@@ -135,49 +156,66 @@ class ServeEngine:
                 logz2="masked",
                 cache_write_pos=pos,
             )
+            fin = fin | (tok == self.eos)
             next_tok = jnp.argmax(out.logits[:, -1], axis=-1).astype(jnp.int32)
+            next_tok = jnp.where(fin, pad, next_tok)
             # the just-processed token is now in the cache: open its mask slot
-            valid = valid.at[jnp.arange(self.S), pos].set(1)
+            valid = valid.at[jnp.arange(self.Sp), pos].set(1)
             return (
-                (out.decoder.kv_cache, valid, next_tok, pos + 1, rpos + 1),
+                (out.decoder.kv_cache, valid, next_tok, pos + 1, rpos + 1, fin),
                 next_tok,
             )
 
-        (cache, valid, tok, pos, rpos), toks = jax.lax.scan(
-            one, (cache, valid, tok, pos, rpos), None, length=self.decode_block
+        (cache, valid, tok, pos, rpos, fin), toks = jax.lax.scan(
+            one, (cache, valid, tok, pos, rpos, fin), None,
+            length=self.decode_block,
         )
-        return cache, valid, tok, pos, rpos, toks  # toks [decode_block, S]
+        return cache, valid, tok, pos, rpos, fin, toks  # toks [decode_block, S]
 
-    @partial(jax.jit, static_argnums=(0, 2))
-    def _prefill_bucket(self, params, bucket, ids, mask, pixels, pixel_mask, patch_mask):
+    @partial(jax.jit, static_argnums=(0, 2), donate_argnums=(3, 4, 5, 6, 7, 8))
+    def _prefill_insert(
+        self, params, bucket, cache, valid, tok, pos, rpos, fin,
+        ids, mask, slots, n_pads, n_reals, pixels, pixel_mask, patch_mask,
+    ):
+        """Prefill one admission wave (A rows, one bucket) and splice every
+        row into its slot — ONE device dispatch per (bucket, A) wave.
+
+        ``slots`` [A] int32 (pad rows point at the scratch slot ``self.S``);
+        the per-row splices unroll inside the trace, so the prefilled KV never
+        round-trips through HBM-visible outputs between programs.
+        """
         batch = LVLMBatch(
             input_ids=ids, attention_mask=mask,
             pixel_values=pixels, pixel_mask=pixel_mask, patch_mask=patch_mask,
         )
-        last_logits, cache, _ = _prefill(
+        last_logits, pcache, _ = _prefill(
             params, self.cfg, batch, bucket, self.shift, None, 1.0, "masked",
             self._cache["k"].dtype, "xla",
         )
         first = jnp.argmax(last_logits, axis=-1).astype(jnp.int32)
-        return cache["k"], cache["v"], first
 
-    @partial(jax.jit, static_argnums=(0,))
-    def _insert(self, cache, valid, tok, pos, rpos, slot, k_new, v_new, n_valid,
-                n_real, first_tok):
-        """Splice one prefilled request into slot ``slot``."""
-        k = jax.lax.dynamic_update_slice(
-            cache["k"], k_new[:, None], (0, slot, 0, 0, 0)
+        A = ids.shape[0]
+        col = jnp.arange(self.T + 1)
+        k, v = cache["k"], cache["v"]
+        for a in range(A):  # unrolled: A is a static shape dimension
+            slot = slots[a]
+            k = jax.lax.dynamic_update_slice(
+                k, pcache["k"][:, a][:, None], (0, slot, 0, 0, 0)
+            )
+            v = jax.lax.dynamic_update_slice(
+                v, pcache["v"][:, a][:, None], (0, slot, 0, 0, 0)
+            )
+            row = ((col >= n_pads[a]) & (col < bucket)).astype(jnp.int32)
+            row = row.at[self.T].set(1)  # current-token column always attendable
+            valid = jax.lax.dynamic_update_slice(valid, row[None], (slot, 0))
+            tok = tok.at[slot].set(first[a])
+            pos = pos.at[slot].set(bucket)
+            rpos = rpos.at[slot].set(n_reals[a])
+            fin = fin.at[slot].set(first[a] == self.eos)
+        return (
+            {"k": k, "v": v, "length": cache["length"]},
+            valid, tok, pos, rpos, fin, first,
         )
-        v = jax.lax.dynamic_update_slice(
-            cache["v"], v_new[:, None], (0, slot, 0, 0, 0)
-        )
-        row = (jnp.arange(self.T + 1) < n_valid).astype(jnp.int32)
-        row = row.at[self.T].set(1)  # current-token column always attendable
-        valid = jax.lax.dynamic_update_slice(valid, row[None], (slot, 0))
-        tok = tok.at[slot].set(first_tok)
-        pos = pos.at[slot].set(n_valid)
-        rpos = rpos.at[slot].set(n_real)
-        return {"k": k, "v": v, "length": cache["length"]}, valid, tok, pos, rpos
 
     # -- host API --------------------------------------------------------------
 
@@ -201,17 +239,37 @@ class ServeEngine:
         free = [s for s in range(self.S) if not self._alive[s]]
         if not free or not self._pending:
             return
-        # group admissible requests by bucket (one prefill program per bucket)
+        # bucket-major admission: fill the wave from the deepest bucket queues
+        # first, so a wave needs as few distinct prefill programs (= device
+        # dispatches) as possible.  Within a bucket, arrival order is kept;
+        # across buckets strict arrival order is traded for dispatch count —
+        # bounded unfairness: every pending request is admitted within
+        # #buckets waves.
+        queues: Dict[int, List[ServeRequest]] = {}
+        for req in self._pending:
+            queues.setdefault(self._bucket_for(len(req.input_ids)), []).append(req)
         by_bucket: Dict[int, List[ServeRequest]] = {}
-        take = min(len(free), len(self._pending))
-        for req in self._pending[:take]:
-            by_bucket.setdefault(self._bucket_for(len(req.input_ids)), []).append(req)
-        self._pending = self._pending[take:]
+        room = len(free)
+        for bucket in sorted(queues, key=lambda b: -len(queues[b])):
+            if room <= 0:
+                break
+            take = queues[bucket][:room]
+            by_bucket[bucket] = take
+            room -= len(take)
+        admitted = {id(r) for reqs in by_bucket.values() for r in reqs}
+        self._pending = [r for r in self._pending if id(r) not in admitted]
 
         for bucket, reqs in by_bucket.items():
-            A = len(reqs)
+            # pad the wave to the next power of two (bounds compiled program
+            # variants to log2(S)+1 per bucket); pad rows target the scratch slot
+            A = 1
+            while A < len(reqs):
+                A *= 2
             ids = np.zeros((A, bucket), np.int32)
             mask = np.zeros((A, bucket), np.int32)
+            slots = np.full(A, self.S, np.int32)  # default: scratch slot
+            n_pads = np.full(A, bucket, np.int32)
+            n_reals = np.zeros(A, np.int32)
             pixels = None
             pixel_mask = None
             patch_mask = None
@@ -230,79 +288,90 @@ class ServeEngine:
                 n = len(r.input_ids)
                 ids[a, bucket - n:] = r.input_ids  # left padding
                 mask[a, bucket - n:] = 1
+                slots[a] = free.pop(0)
+                n_pads[a] = bucket - n
+                n_reals[a] = n
                 if pixels is not None and r.pixel_values is not None:
                     pixels[a] = r.pixel_values
                     pixel_mask[a] = 1
                     if patch_mask is not None and r.patch_mask is not None:
                         patch_mask[a] = r.patch_mask
-            k, v, first = self._prefill_bucket(
+            (self._cache, self._valid, self._tok, self._pos, self._rpos,
+             self._fin, first) = self._prefill_insert(
                 self.params, bucket,
-                jnp.asarray(ids), jnp.asarray(mask),
+                self._cache, self._valid, self._tok, self._pos, self._rpos,
+                self._fin,
+                jnp.asarray(ids), jnp.asarray(mask), jnp.asarray(slots),
+                jnp.asarray(n_pads), jnp.asarray(n_reals),
                 jnp.asarray(pixels) if pixels is not None else None,
                 jnp.asarray(pixel_mask) if pixel_mask is not None else None,
                 jnp.asarray(patch_mask) if patch_mask is not None else None,
             )
-            first_host = np.asarray(first)
+            wave = len(self._firsts)
+            self._firsts.append(first)  # device array — pulled once at the end
             for a, r in enumerate(reqs):
-                slot = free.pop(0)
-                # left-padded prefill: valid KV occupies columns [0, bucket) of
-                # the slot; padding columns are masked off via the valid row
-                n = len(r.input_ids)
-                (self._cache, self._valid, self._tok, self._pos,
-                 self._rpos) = self._insert(
-                    self._cache, self._valid, self._tok, self._pos, self._rpos,
-                    jnp.asarray(slot, jnp.int32),
-                    k[:, a], v[:, a],
-                    jnp.asarray(bucket, jnp.int32),
-                    jnp.asarray(n, jnp.int32),
-                    first[a],
-                )
-                # mask out the left-pad columns (insert marked [0, bucket) valid)
-                if n < bucket:
-                    row = np.zeros(self.T + 1, np.int32)
-                    row[bucket - n: bucket] = 1
-                    row[self.T] = 1
-                    self._valid = self._valid.at[slot].set(jnp.asarray(row))
+                slot = int(slots[a])
                 self._len[slot] = bucket + 1
-                self._alive[slot] = True
-                self._budget[slot] = r.max_new_tokens - 1  # first token done
-                res = ServeResult(uid=r.uid)
-                res.tokens.append(int(first_host[a]))
-                self._req[slot] = res
-                if first_host[a] == self.eos or self._budget[slot] <= 0:
-                    self._retire(slot)
-
-    def _retire(self, slot: int) -> None:
-        self._alive[slot] = False
-        res = self._req[slot]
-        if res is not None:
-            if res.tokens and res.tokens[-1] == self.eos:
-                res.tokens = res.tokens[:-1]
-            self._done.append(res)
-            self._req[slot] = None
+                budget = r.max_new_tokens - 1  # first token came from prefill
+                blocks = -(-budget // self.decode_block) if budget > 0 else 0
+                self._alive[slot] = blocks > 0
+                self._blocks_left[slot] = blocks
+                self._claims.append(
+                    (r.uid, (wave, a), len(self._chunks), budget, slot)
+                )
 
     def run(self) -> List[ServeResult]:
         """Process all submitted requests to completion; returns results
-        ordered by uid."""
+        ordered by uid.
+
+        The loop issues work only — admissions and decode blocks enqueue on
+        the device stream with NO device→host reads (slot lifetimes are
+        deterministic).  One sync at the end pulls every generated token."""
         while self._pending or self._alive.any():
             self._admit()
             if not self._alive.any():
                 continue
             (self._cache, self._valid, self._tok, self._pos, self._rpos,
-             toks) = self._decode_steps(
+             self._fin, toks) = self._decode_steps(
                 self.decode_params, self.shift, self._cache, self._valid,
-                self._tok, self._pos, self._rpos,
+                self._tok, self._pos, self._rpos, self._fin,
             )
-            toks_host = np.asarray(toks)  # [decode_block, S] — one sync per block
-            for step in range(self.decode_block):
-                for s in range(self.S):
-                    if not self._alive[s] or self._budget[s] <= 0:
-                        continue
-                    t = int(toks_host[step, s])
-                    res = self._req[s]
-                    res.tokens.append(t)
-                    self._len[s] += 1
-                    self._budget[s] -= 1
-                    if t == self.eos or self._budget[s] <= 0:
-                        self._retire(s)
-        return sorted(self._done, key=lambda r: r.uid)
+            self._chunks.append(toks)  # device array [decode_block, S]
+            live = self._alive.nonzero()[0]
+            self._blocks_left[live] -= 1
+            self._alive[live] = self._blocks_left[live] > 0
+        return self._collect()
+
+    def _collect(self) -> List[ServeResult]:
+        """ONE device→host sync: pull all block tokens + first tokens, then
+        assemble per-request sequences (truncate at EOS, host-side)."""
+        chunks = (
+            np.asarray(jnp.concatenate(self._chunks, axis=0))
+            if self._chunks else np.zeros((0, self.S), np.int32)
+        )  # [total_steps, Sp]
+        # one pull for ALL first tokens (device-side concat of ragged waves)
+        if self._firsts:
+            flat = np.asarray(jnp.concatenate([f.reshape(-1) for f in self._firsts]))
+            firsts, off = [], 0
+            for f in self._firsts:
+                n = int(f.shape[0])
+                firsts.append(flat[off : off + n])
+                off += n
+        else:
+            firsts = []
+        done = []
+        for uid, (wave, a), c0, budget, slot in self._claims:
+            toks = [int(firsts[wave][a])]
+            if budget > 0:
+                start = c0 * self.decode_block
+                toks += [
+                    int(t)
+                    for t in chunks[start : start + budget, slot]
+                ]
+            if self.eos in toks:
+                toks = toks[: toks.index(self.eos)]
+            res = ServeResult(uid=uid)
+            res.tokens = toks
+            done.append(res)
+        self._claims, self._firsts, self._chunks = [], [], []
+        return sorted(done, key=lambda r: r.uid)

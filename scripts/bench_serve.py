@@ -17,12 +17,30 @@ Usage: ``python scripts/bench_serve.py``
 
 from __future__ import annotations
 
+import os
 import sys
 import time
 
 sys.path.insert(0, "/root/repo")
 
 import numpy as np
+
+
+def _enable_compile_cache():
+    import jax
+
+    cache_dir = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))), ".jax_cache"
+    )
+    try:
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+    except Exception:
+        pass
+
+
+_enable_compile_cache()
 
 
 def build_text_model():
@@ -79,6 +97,7 @@ def run_static(cfg, params, tk, reqs, batch_size=16, bucket=512):
         )
 
     # warmup/compile
+    print("compiling static path...", flush=True)
     out = one_batch(reqs[:batch_size])
     jax.block_until_ready(out.tokens)
     _ = int(np.asarray(out.tokens[0, 0]))
@@ -102,15 +121,17 @@ def run_engine(cfg, params, tk, reqs, num_slots=16):
         prefill_buckets=(128, 256, 512), decode_block=5,
         eos_token_id=tk.eos_token_id,
     )
-    # warmup: compile every bucket prefill + the decode program
+    # warmup: run the SAME request stream once — compiles every
+    # (bucket, wave-size) prefill variant and the decode program the measured
+    # run will use
+    print("compiling engine paths...", flush=True)
     warm = ServeEngine(
         cfg, params, num_slots=num_slots, max_len=544,
         prefill_buckets=(128, 256, 512), decode_block=5,
         eos_token_id=tk.eos_token_id,
     )
-    for L in (100, 200, 400):
-        warm.submit(ServeRequest(uid=0, input_ids=np.arange(300, 300 + L),
-                                 max_new_tokens=10))
+    for uid, (p, n) in enumerate(reqs):
+        warm.submit(ServeRequest(uid=uid, input_ids=p, max_new_tokens=n))
     warm.run()
 
     t0 = time.perf_counter()
@@ -122,6 +143,7 @@ def run_engine(cfg, params, tk, reqs, num_slots=16):
 
 
 def main():
+    print("building model...", flush=True)
     cfg, params, tk = build_text_model()
     reqs = make_requests()
 

@@ -445,3 +445,56 @@ def test_onepass_forward_compiled(D):
     np.testing.assert_allclose(
         np.asarray(lse_u), np.asarray(ref_lse_u), rtol=2e-2, atol=2e-2
     )
+
+
+@requires_tpu
+def test_beam_generate_quant_kv_nonaligned_prompt():
+    """Drive ``beam_generate`` itself (not a hand-built cache) with
+    ``quant_kv=True`` on a NON-128-aligned prompt: the repad branch pads the
+    prompt region (200 -> 256 slots), masks the pad columns, and the decode
+    steps run the int8 prompt-KV kernel — ``ATTN_PATH_LOG`` proves the path
+    was taken (round-3 ADVICE: the branch was only reachable via a hand-built
+    cache in tests).  Beam scores must stay close to the bf16-KV run (int8 KV
+    noise is ~1e-2 per step logprob)."""
+    from mimic_tpu.models import decoder as D
+    from mimic_tpu.models.generate import beam_generate
+    from mimic_tpu.models.lm import init_lm_params
+    from mimic_tpu.models.lvlm import LVLMBatch
+
+    cfg = _text_cfg()
+    params = {"lm": init_lm_params(cfg.text, jax.random.PRNGKey(0), dtype=jnp.bfloat16)}
+    B, T = 4, 200  # 200 is not 128-aligned -> Tq repads to 256
+    rng = np.random.default_rng(1)
+    ids = rng.integers(3, 500, size=(B, T)).astype(np.int32)
+    # left padding so the mask interacts with the repad columns
+    ids[:, :16] = cfg.pad_token_id
+    mask = np.ones((B, T), np.int32)
+    mask[:, :16] = 0
+    batch = LVLMBatch(
+        input_ids=jnp.asarray(ids), attention_mask=jnp.asarray(mask)
+    )
+
+    results = {}
+    for quant in (False, True):
+        D.ATTN_PATH_LOG.clear()
+        res = beam_generate(
+            params, cfg, batch, max_new_tokens=6, num_beams=3,
+            eos_token_id=cfg.eos_token_id, pad_token_id=cfg.pad_token_id,
+            attn_impl="flash", quant_kv=quant,
+        )
+        toks = np.asarray(res.tokens)
+        scores = np.asarray(res.scores)
+        assert toks.shape == (B, 6)
+        assert (toks >= 0).all() and (toks < cfg.text.vocab_size).all()
+        assert np.isfinite(scores).all()
+        if quant:
+            assert "quant_kv" in D.ATTN_PATH_LOG, D.ATTN_PATH_LOG
+        else:
+            assert "quant_kv" not in D.ATTN_PATH_LOG, D.ATTN_PATH_LOG
+        results[quant] = (toks, scores)
+
+    # int8 KV noise must not change sequence scores materially (tokens may
+    # legitimately flip on near-ties; scores are the robust invariant)
+    np.testing.assert_allclose(
+        results[True][1], results[False][1], rtol=0.05, atol=0.15
+    )
