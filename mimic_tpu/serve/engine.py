@@ -175,15 +175,27 @@ class ServeEngine:
     @partial(jax.jit, static_argnums=(0, 2), donate_argnums=(3, 4, 5, 6, 7, 8))
     def _prefill_insert(
         self, params, bucket, cache, valid, tok, pos, rpos, fin,
-        ids, mask, slots, n_pads, n_reals, pixels, pixel_mask, patch_mask,
+        packed, pixels, pixel_mask, patch_mask,
     ):
         """Prefill one admission wave (A rows, one bucket) and splice every
         row into its slot — ONE device dispatch per (bucket, A) wave.
 
-        ``slots`` [A] int32 (pad rows point at the scratch slot ``self.S``);
-        the per-row splices unroll inside the trace, so the prefilled KV never
-        round-trips through HBM-visible outputs between programs.
+        ``packed`` [A, bucket+3] int32 carries the whole wave in ONE
+        host→device transfer (each small transfer costs a tunnel round-trip,
+        ~25 ms measured): columns [0, bucket) are the left-padded prompt ids,
+        then slot index (pad rows point at the scratch slot ``self.S``),
+        left-pad count, and real-token count.  The attention mask is derived
+        from the pad count in-program.  The per-row splices unroll inside the
+        trace, so the prefilled KV never round-trips through HBM-visible
+        outputs between programs.
         """
+        ids = packed[:, :bucket]
+        slots = packed[:, bucket]
+        n_pads = packed[:, bucket + 1]
+        n_reals = packed[:, bucket + 2]
+        mask = (
+            jnp.arange(bucket)[None, :] >= n_pads[:, None]
+        ).astype(jnp.int32)
         batch = LVLMBatch(
             input_ids=ids, attention_mask=mask,
             pixel_values=pixels, pixel_mask=pixel_mask, patch_mask=patch_mask,
@@ -265,11 +277,9 @@ class ServeEngine:
             A = 1
             while A < len(reqs):
                 A *= 2
-            ids = np.zeros((A, bucket), np.int32)
-            mask = np.zeros((A, bucket), np.int32)
-            slots = np.full(A, self.S, np.int32)  # default: scratch slot
-            n_pads = np.full(A, bucket, np.int32)
-            n_reals = np.zeros(A, np.int32)
+            packed = np.zeros((A, bucket + 3), np.int32)
+            packed[:, bucket] = self.S  # default: scratch slot
+            packed[:, bucket + 1] = bucket  # pad count (pad rows: all-pad)
             pixels = None
             pixel_mask = None
             patch_mask = None
@@ -284,13 +294,14 @@ class ServeEngine:
                         r.patch_mask.shape for r in reqs if r.patch_mask is not None
                     )
                     patch_mask = np.zeros((A,) + pshape, np.int32)
+            slots = np.full(A, self.S, np.int32)
             for a, r in enumerate(reqs):
                 n = len(r.input_ids)
-                ids[a, bucket - n:] = r.input_ids  # left padding
-                mask[a, bucket - n:] = 1
+                packed[a, bucket - n : bucket] = r.input_ids  # left padding
                 slots[a] = free.pop(0)
-                n_pads[a] = bucket - n
-                n_reals[a] = n
+                packed[a, bucket] = slots[a]
+                packed[a, bucket + 1] = bucket - n
+                packed[a, bucket + 2] = n
                 if pixels is not None and r.pixel_values is not None:
                     pixels[a] = r.pixel_values
                     pixel_mask[a] = 1
@@ -301,8 +312,7 @@ class ServeEngine:
                 self.params, bucket,
                 self._cache, self._valid, self._tok, self._pos, self._rpos,
                 self._fin,
-                jnp.asarray(ids), jnp.asarray(mask), jnp.asarray(slots),
-                jnp.asarray(n_pads), jnp.asarray(n_reals),
+                jnp.asarray(packed),
                 jnp.asarray(pixels) if pixels is not None else None,
                 jnp.asarray(pixel_mask) if pixel_mask is not None else None,
                 jnp.asarray(patch_mask) if patch_mask is not None else None,

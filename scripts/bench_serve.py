@@ -10,7 +10,7 @@ identical work in both paths and would only dilute the comparison):
 
 - 64 requests, prompt lengths uniform in [96, 512), 10 new tokens each
 - static: batches of 16, every batch padded to 512 (the protocol bucket)
-- engine: 16 slots, buckets (128, 256, 512)
+- engine: 32 slots, buckets (128, 256, 512)
 
 Usage: ``python scripts/bench_serve.py``
 """
@@ -111,7 +111,7 @@ def run_static(cfg, params, tk, reqs, batch_size=16, bucket=512):
     return len(reqs) / dt, outs
 
 
-def run_engine(cfg, params, tk, reqs, num_slots=16):
+def run_engine(cfg, params, tk, reqs, num_slots=32):
     import numpy as np
 
     from mimic_tpu.serve.engine import ServeEngine, ServeRequest
@@ -121,18 +121,14 @@ def run_engine(cfg, params, tk, reqs, num_slots=16):
         prefill_buckets=(128, 256, 512), decode_block=5,
         eos_token_id=tk.eos_token_id,
     )
-    # warmup: run the SAME request stream once — compiles every
-    # (bucket, wave-size) prefill variant and the decode program the measured
-    # run will use
+    # warmup: run the SAME request stream once on the SAME engine object —
+    # compiles every (bucket, wave-size) prefill variant and the decode
+    # program the measured run will use (``self`` is a static jit arg, so a
+    # separate warm engine would not share the in-process executable cache)
     print("compiling engine paths...", flush=True)
-    warm = ServeEngine(
-        cfg, params, num_slots=num_slots, max_len=544,
-        prefill_buckets=(128, 256, 512), decode_block=5,
-        eos_token_id=tk.eos_token_id,
-    )
     for uid, (p, n) in enumerate(reqs):
-        warm.submit(ServeRequest(uid=uid, input_ids=p, max_new_tokens=n))
-    warm.run()
+        eng.submit(ServeRequest(uid=uid, input_ids=p, max_new_tokens=n))
+    eng.run()
 
     t0 = time.perf_counter()
     for uid, (p, n) in enumerate(reqs):
