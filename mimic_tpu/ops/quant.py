@@ -724,11 +724,13 @@ def qdot(
         if n != n_stored:
             pad = [(0, 0)] * (scale.ndim - 1) + [(0, n_stored - n)]
             scale = jnp.pad(scale, pad)
-        # measured on v5e (scripts/bench_quant_matmul.py sweep): wide blocks win;
-        # big-N fused matmuls (gateup) additionally want the whole K per block
+        # measured on v5e (scripts/bench_quant_matmul.py sweep; r4 stacked-decode
+        # sweep /tmp recorded in docs/KERNELS.md): wide blocks win; big-N fused
+        # matmuls (gateup) want the whole K per block; K=2048 mats (qkv/o) gain
+        # ~4% from bk 512→1024 (larger DMA per grid step)
         bm = xm.shape[0] if xm.shape[0] <= 512 else 512
         bn = 2048
-        bk = 2048 if n_stored >= 8192 else 512
+        bk = 2048 if n_stored >= 8192 else 1024
         if layer is not None:
             out = int8_matmul_stacked(
                 xm, wq, scale.astype(jnp.float32), layer, out_dtype=out_dtype,

@@ -58,7 +58,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 
 M, D, L = 48, 2048, 24
-REPS = 4  # chain repetitions per timed call (amortizes host dispatch)
+REPS = 8  # chain repetitions per timed call (amortizes host dispatch)
 
 
 # --- A: XLA dot scan ---------------------------------------------------------
@@ -193,6 +193,42 @@ def mega_scan_i8(h, W8, S):
     return h
 
 
+def _one_kernel_i8(h_ref, w_ref, s_ref, o_ref):
+    w = w_ref[...].astype(jnp.bfloat16) * s_ref[...].astype(jnp.bfloat16)
+    acc = jax.lax.dot_general(
+        h_ref[...], w, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    o_ref[...] = jnp.tanh(acc).astype(o_ref.dtype)
+
+
+def one_matmul_i8(h, w, s):
+    return pl.pallas_call(
+        _one_kernel_i8,
+        in_specs=[
+            pl.BlockSpec((M, D), lambda: (0, 0)),
+            pl.BlockSpec((D, D), lambda: (0, 0)),
+            pl.BlockSpec((1, D), lambda: (0, 0)),
+        ],
+        out_specs=pl.BlockSpec((M, D), lambda: (0, 0)),
+        out_shape=jax.ShapeDtypeStruct((M, D), h.dtype),
+    )(h, w, s)
+
+
+@jax.jit
+def percall_scan_i8(h, W8, S):
+    def rep(h, _):
+        def step(h, ws):
+            w, s = ws
+            return one_matmul_i8(h, w, s), None
+
+        h, _ = jax.lax.scan(step, h, (W8, S))
+        return h, None
+
+    h, _ = jax.lax.scan(rep, h, None, length=REPS)
+    return h
+
+
 def main():
     rng = np.random.default_rng(0)
     h = jnp.asarray(rng.normal(size=(M, D)) * 0.02, jnp.bfloat16)
@@ -206,7 +242,7 @@ def main():
     bytes_bf16 = L * D * D * 2 * REPS
     bytes_i8 = L * D * D * 1 * REPS
 
-    def timed(name, f, nbytes, iters=20):
+    def timed(name, f, nbytes, iters=400):
         try:
             out = f()
             jax.block_until_ready(out)
@@ -237,6 +273,7 @@ def main():
     timed("C  per-layer pallas call (bf16)", lambda: percall_scan(h, W), bytes_bf16)
     timed("B  persistent one-call (bf16)", lambda: mega_scan(h, W), bytes_bf16)
     timed("B8 persistent one-call (int8)", lambda: mega_scan_i8(h, W8, S), bytes_i8)
+    timed("C8 per-layer pallas call (int8)", lambda: percall_scan_i8(h, W8, S), bytes_i8)
 
 
 if __name__ == "__main__":
