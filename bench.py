@@ -228,6 +228,8 @@ class Result:
                 "eval_query_throughput_idefics2_8b_int8_1chip": None,
                 "train_step_ms_1p2b_dualpass": None,
                 "train_step_tf_per_s": None,
+                "serve_engine_qps_mixed_prompts": None,
+                "serve_static_qps_mixed_prompts": None,
             },
             "detail": {},
         }
@@ -357,6 +359,30 @@ def main():
         except Exception as e:  # fail-soft: never lose the headline metric
             print(f"# mfu section failed: {type(e).__name__}: {e}", file=sys.stderr)
     res.emit("mfu")
+
+    # serve engine vs static batching at mixed prompt lengths (the round-3
+    # VERDICT asked for this as a recorded bench metric; builds its own small
+    # text model — the LVLM above is already freed)
+    if (
+        jax.default_backend() == "tpu"
+        and not os.environ.get("BENCH_SKIP_SERVE")
+        and _budget_left() > 420
+    ):
+        try:
+            sys.path.insert(0, os.path.join(os.path.dirname(__file__), "scripts"))
+            from bench_serve import build_text_model, make_requests, run_engine, run_static
+
+            scfg, sparams, stk = build_text_model()
+            sreqs = make_requests()
+            static_qps, _ = run_static(scfg, sparams, stk, sreqs)
+            engine_qps, _ = run_engine(scfg, sparams, stk, sreqs)
+            res.doc["extra_metrics"]["serve_static_qps_mixed_prompts"] = round(static_qps, 1)
+            res.doc["extra_metrics"]["serve_engine_qps_mixed_prompts"] = round(engine_qps, 1)
+            del sparams
+            gc.collect()
+        except Exception as e:
+            print(f"# serve section failed: {type(e).__name__}: {e}", file=sys.stderr)
+    res.emit("serve")
 
     if (
         jax.default_backend() == "tpu"

@@ -135,3 +135,44 @@ class TestServeEngine:
                     max_new_tokens=8,
                 )
             )
+
+    def test_engine_reuse_two_runs(self):
+        """Back-to-back run() calls on ONE engine (the warm-measure pattern
+        the serve bench uses) must reset claim/chunk state and keep greedy
+        parity on both runs."""
+        cfg, params, tk = _model("text")
+        rng = np.random.default_rng(5)
+        prompts = [
+            rng.integers(4, 250, size=(n,)).astype(np.int32) for n in (6, 14, 23)
+        ]
+        eng = ServeEngine(
+            cfg, params, num_slots=2, max_len=64,
+            prefill_buckets=(8, 16, 32), decode_block=3,
+        )
+        expect = [_static_greedy(cfg, params, tk, p, 5) for p in prompts]
+        for _run in range(2):
+            for i, p in enumerate(prompts):
+                eng.submit(ServeRequest(uid=i, input_ids=p, max_new_tokens=5))
+            results = eng.run()
+            assert [r.uid for r in results] == [0, 1, 2]
+            for r, e in zip(results, expect):
+                assert r.tokens == e, (_run, r.uid, r.tokens, e)
+
+    def test_engine_max_new_one(self):
+        """max_new_tokens=1: the request needs zero decode blocks — the slot
+        must free immediately and the single prefill token must round-trip."""
+        cfg, params, tk = _model("text")
+        rng = np.random.default_rng(6)
+        prompts = [
+            rng.integers(4, 250, size=(n,)).astype(np.int32) for n in (5, 9, 12)
+        ]
+        eng = ServeEngine(
+            cfg, params, num_slots=1, max_len=40, prefill_buckets=(16,),
+        )
+        for i, p in enumerate(prompts):
+            eng.submit(ServeRequest(uid=i, input_ids=p, max_new_tokens=1))
+        results = eng.run()
+        assert len(results) == 3
+        for r, p in zip(results, prompts):
+            expect = _static_greedy(cfg, params, tk, p, 1)
+            assert r.tokens == expect
