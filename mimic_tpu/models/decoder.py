@@ -206,6 +206,7 @@ def _self_attention(
     prompt_v: Optional[jnp.ndarray] = None,
     prompt_mask: Optional[jnp.ndarray] = None,
     ring: Optional[Tuple[Any, str, Optional[str]]] = None,  # (mesh, seq_axis, batch_axis)
+    prefix_merge_len: int = 0,
 ) -> Tuple[jnp.ndarray, Optional[jnp.ndarray], Optional[jnp.ndarray]]:
     """Returns (attn block output [B,T,D], new_k_block, new_v_block).
 
@@ -214,6 +215,12 @@ def _self_attention(
     returned for a single post-scan cache append — no full-cache copy per layer.
     ``prompt_k/v/mask``: beam-shared prompt region at batch B/beams (see
     ``cached_attention``); ``key_mask`` stays full-timeline and is split here.
+
+    ``prefix_merge_len`` (static, P>0 = the prefix-tuning prefill path): the
+    cache holds ONLY the P virtual prefix slots at [0, P) (always attendable
+    by construction).  The prompt block then attends causally over itself via
+    the cacheless machinery (flash-eligible — no [B,Hkv,G,T,S] score tensor)
+    and the tiny prefix part is merged in by logsumexp combination.
     """
     B, T, _ = x.shape
     q, k, v = _project_qkv(lp, ad, x, cfg, lora_scaling, drop_keys, drop_rate)
@@ -221,6 +228,63 @@ def _self_attention(
     if cfg.qk_layernorm:
         q = rms_norm(q, lp["q_ln"], cfg.norm_eps)
         k = rms_norm(k, lp["k_ln"], cfg.norm_eps)
+
+    if cache_k is not None and prefix_merge_len:
+        P = prefix_merge_len
+        G = cfg.num_groups
+        need_unmasked = bool(ls) and logz2 == "unmasked"
+        key_mask_new = jax.lax.dynamic_slice(key_mask, (0, cache_len), (B, T))
+        if use_flash:
+            from ..ops.flash_attention import (
+                DEFAULT_BK, DEFAULT_BQ, flash_attention_diff,
+            )
+
+            attn_f, lse_f, lse_u_f = flash_attention_diff(
+                q, k, v, key_mask_new, True, None, DEFAULT_BQ, DEFAULT_BK,
+                need_unmasked, False,
+            )
+        else:
+            causal = jnp.tril(jnp.ones((T, T), bool))
+            mask2 = causal[None, None] & (key_mask_new > 0)[:, None, None, :]
+            k_rep, v_rep = repeat_kv(k, G), repeat_kv(v, G)
+            attn_f, lse_f = sdpa_with_lse(q, k_rep, v_rep, mask2)
+            lse_u_f = unmasked_lse(q, k_rep) if need_unmasked else None
+        # prefix part: static slice of the cache's first P slots, no mask
+        pk_ = jax.lax.slice_in_dim(cache_k, 0, P, axis=1)
+        pv_ = jax.lax.slice_in_dim(cache_v, 0, P, axis=1)
+        attn_p, lse_p = sdpa_with_lse(
+            q, repeat_kv(pk_, G), repeat_kv(pv_, G), None
+        )
+        # logsumexp-combine the two normalized parts (f32 for stability)
+        m = jnp.maximum(lse_f, lse_p)
+        wf = jnp.exp(lse_f - m)
+        wp = jnp.exp(lse_p - m)
+        denom = wf + wp
+        attn = (
+            attn_f.astype(jnp.float32) * (wf / denom)[..., None]
+            + attn_p.astype(jnp.float32) * (wp / denom)[..., None]
+        ).astype(q.dtype)
+        lse = m + jnp.log(denom)
+        if ls:
+            if logz2 == "masked":
+                log_z2 = lse
+            else:
+                mu_ = jnp.maximum(lse_u_f, lse_p)
+                log_z2 = mu_ + jnp.log(
+                    jnp.exp(lse_u_f - mu_) + jnp.exp(lse_p - mu_)
+                )
+            attn = apply_attn_shift(ls, q, log_z2, attn, multi_head)
+        attn_flat = attn.reshape(B, T, -1)
+        from ..ops.quant import qdot
+
+        out = qdot(attn_flat, lp["o_proj"])
+        do = _lora_delta(
+            ad, "o", attn_flat, lora_scaling,
+            None if drop_keys is None else drop_keys[3], drop_rate,
+        )
+        if do is not None:
+            out = out + do
+        return out, k, v
 
     if cache_k is not None:
         from .layers import cached_attention
@@ -376,6 +440,7 @@ def decoder_forward(
     remat: bool = False,
     cache_empty: bool = False,
     cache_write_pos: Optional[jnp.ndarray] = None,
+    prefix_flash_len: int = 0,
 ) -> DecoderOutput:
     """Run the decoder stack.
 
@@ -417,13 +482,27 @@ def decoder_forward(
     # cache_empty (static hint from prefill): attention only needs the current
     # block — run the no-cache path (flash-eligible) and just append k/v after
     attend_cacheless = not use_cache or cache_empty
+    # prefix-tuning prefill (cache holds ONLY the P virtual slots): the block
+    # attends itself cachelessly (flash-eligible) + a logsumexp-merged prefix
+    # part — avoids cached_attention's [B,Hkv,G,T,S] f32 score tensor at
+    # multi-thousand-token prompts
+    prefix_merge = (
+        prefix_flash_len > 0
+        and use_cache
+        and not cache_empty
+        and not has_prompt
+        and T > 1
+        and cfg.sliding_window is None
+    )
     selected = select_attn_path(
         cfg, attn_impl, T,
-        cacheless=attend_cacheless,
+        cacheless=attend_cacheless or prefix_merge,
         has_key_mask=key_mask is not None,
         ring_mesh=ring_mesh, ring_axis=ring_axis, ring_min_len=ring_min_len,
     )
-    ATTN_PATH_LOG.append(selected)
+    if prefix_merge and selected == "ring":
+        selected = "xla"  # ring has no prefix-merge contract
+    ATTN_PATH_LOG.append(selected + "+prefix" if prefix_merge else selected)
     use_flash = selected == "flash"
     ring = (
         (ring_mesh, ring_axis, ring_batch_axis) if selected == "ring" else None
@@ -449,6 +528,7 @@ def decoder_forward(
             drop_keys=dkeys, drop_rate=lora_dropout if use_dropout else 0.0,
             prompt_k=pk, prompt_v=pv, prompt_mask=prompt_mask,
             ring=ring,
+            prefix_merge_len=prefix_flash_len if prefix_merge else 0,
         )
         attn_out = apply_output_shift(
             attn_out, os_.get("attn_out_shift"), os_.get("attn_out_scale")

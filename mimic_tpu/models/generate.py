@@ -46,13 +46,10 @@ def _prefill(params, cfg, batch: LVLMBatch, total_len: int, shift, adapters, lor
     prefills through the cached two-part attention (every prompt token attends
     the prefix) instead of the cache-empty fast path.  ``total_len`` includes P.
 
-    Known limit of the prefix path: cached two-part attention materializes the
-    full [B,Hkv,G,T,S] f32 score tensor, so prefix + multi-thousand-token
-    prompts can transiently need multiple GB of HBM (the non-prefix prefill
-    streams through the Pallas flash kernel instead).  Fine at the reference
-    eval protocol (T=512); for long-ICL prefix serving, prefill without the
-    prefix and add it as extra leading cache slots via a flash pass over the
-    real block merged by logsumexp — not implemented until a protocol needs it.
+    The prefix path prefills through the cacheless machinery (flash-eligible)
+    with the P virtual slots merged in by logsumexp combination
+    (``decoder.py`` ``prefix_merge``) — no [B,Hkv,G,T,S] f32 score tensor even
+    at multi-thousand-token prompts.
     """
     B, T = batch.input_ids.shape
     image_feats = None
@@ -70,7 +67,7 @@ def _prefill(params, cfg, batch: LVLMBatch, total_len: int, shift, adapters, lor
         batch, pos, cache, _ = prefix_forward_args(
             prefix, batch, dtype, extra_len=total_len - P - T
         )
-        extra = dict(kv_cache=cache, position_ids=pos)
+        extra = dict(kv_cache=cache, position_ids=pos, prefix_flash_len=P)
     out = lvlm_forward(
         params, cfg, batch,
         image_feats=image_feats,

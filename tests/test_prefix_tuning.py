@@ -206,3 +206,44 @@ def test_eval_gate_accepts_prefix_only_runner(tmp_path):
     ecfg.resume = False
     with pytest.raises(ValueError, match="trained parameters"):
         run_eval(ecfg, runner, result_dir=str(tmp_path), splits=synthetic_vqa_splits())
+
+
+def test_prefix_merge_path_matches_cached_attention(setup):
+    """The round-4 prefix prefill (cacheless block + logsumexp-merged prefix,
+    ``decoder.prefix_merge``) must reproduce the cached-attention path exactly
+    and must actually be selected (ATTN_PATH_LOG '+prefix')."""
+    from mimic_tpu.models import decoder as D
+
+    cfg, params = setup
+    prefix = init_prefix_params(
+        PrefixConfig(num_virtual_tokens=4), cfg.text, jax.random.PRNGKey(7)
+    )
+    rng = np.random.default_rng(0)
+    B, T = 2, 12
+    ids = rng.integers(4, 120, size=(B, T)).astype(np.int32)
+    mask = np.ones((B, T), np.int32)
+    mask[0, :3] = 0  # left padding interacts with the merge mask slice
+    batch = LVLMBatch(
+        input_ids=jnp.asarray(ids), attention_mask=jnp.asarray(mask)
+    )
+    pb, pos, cache, total = prefix_forward_args(
+        prefix, batch, jnp.float32, extra_len=3
+    )
+
+    logits = {}
+    for flag in (0, prefix["k"].shape[1]):
+        D.ATTN_PATH_LOG.clear()
+        out = lvlm_forward(
+            params, cfg, pb,
+            position_ids=pos,
+            kv_cache=jax.tree.map(jnp.copy, cache),
+            kv_total_len=total,
+            prefix_flash_len=flag,
+        )
+        if flag:
+            assert any(p.endswith("+prefix") for p in D.ATTN_PATH_LOG), D.ATTN_PATH_LOG
+        else:
+            assert not any(p.endswith("+prefix") for p in D.ATTN_PATH_LOG)
+        logits[flag] = np.asarray(out.logits, np.float32)
+
+    np.testing.assert_allclose(logits[4], logits[0], rtol=2e-4, atol=2e-4)

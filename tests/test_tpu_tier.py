@@ -498,3 +498,45 @@ def test_beam_generate_quant_kv_nonaligned_prompt():
     np.testing.assert_allclose(
         results[True][1], results[False][1], rtol=0.05, atol=0.15
     )
+
+
+@requires_tpu
+def test_prefix_flash_prefill_compiled():
+    """Prefix-tuning prefill through the Pallas flash kernel + logsumexp merge
+    ('flash+prefix' path): logits must match the cached-attention reference
+    path on-chip."""
+    from mimic_tpu.config import PrefixConfig
+    from mimic_tpu.models import decoder as D
+    from mimic_tpu.models.lm import init_lm_params
+    from mimic_tpu.models.lvlm import LVLMBatch, lvlm_forward
+    from mimic_tpu.shift.prefix import init_prefix_params, prefix_forward_args
+
+    cfg = _text_cfg()
+    params = {"lm": init_lm_params(cfg.text, jax.random.PRNGKey(0), dtype=jnp.bfloat16)}
+    prefix = init_prefix_params(
+        PrefixConfig(num_virtual_tokens=8), cfg.text, jax.random.PRNGKey(3)
+    )
+    prefix = jax.tree.map(lambda x: x.astype(jnp.bfloat16), prefix)
+    B, T = 2, 128  # T%128==0 -> flash-eligible block
+    rng = np.random.default_rng(2)
+    ids = rng.integers(3, 500, size=(B, T)).astype(np.int32)
+    batch = LVLMBatch(
+        input_ids=jnp.asarray(ids), attention_mask=jnp.ones((B, T), jnp.int32)
+    )
+    pb, pos, cache, total = prefix_forward_args(
+        prefix, batch, jnp.bfloat16, extra_len=4
+    )
+
+    logits = {}
+    for impl, flag in (("flash", 8), ("xla", 0)):
+        D.ATTN_PATH_LOG.clear()
+        out = jax.jit(
+            lambda p, b, c: lvlm_forward(
+                p, cfg, b, position_ids=pos, kv_cache=c, kv_total_len=total,
+                prefix_flash_len=flag, attn_impl=impl,
+            )
+        )(params, pb, jax.tree.map(jnp.copy, cache))
+        if flag:
+            assert "flash+prefix" in D.ATTN_PATH_LOG, D.ATTN_PATH_LOG
+        logits[impl] = np.asarray(out.logits, np.float32)
+    np.testing.assert_allclose(logits["flash"], logits["xla"], rtol=8e-2, atol=8e-2)
