@@ -360,9 +360,28 @@ def main():
             print(f"# mfu section failed: {type(e).__name__}: {e}", file=sys.stderr)
     res.emit("mfu")
 
+
+    if (
+        jax.default_backend() == "tpu"
+        and not os.environ.get("BENCH_SKIP_8B")
+        and _budget_left() > 300
+    ):
+        try:
+            sys.path.insert(0, os.path.join(os.path.dirname(__file__), "scripts"))
+            from bench_8b_serving import run_8b_bench
+
+            res.doc["extra_metrics"]["eval_query_throughput_idefics2_8b_int8_1chip"] = round(
+                run_8b_bench(w8a8=True)["qps"], 3
+            )
+        except Exception as e:
+            print(f"# 8B section failed: {type(e).__name__}: {e}", file=sys.stderr)
     # serve engine vs static batching at mixed prompt lengths (the round-3
-    # VERDICT asked for this as a recorded bench metric; builds its own small
-    # text model — the LVLM above is already freed)
+    # VERDICT asked for this as a recorded bench metric).  Runs LAST: its
+    # engines pin several GB that the 8B build cannot spare (measured: 8B OOMs
+    # if serve precedes it even after jax.clear_caches); the 8B tree is freed
+    # on section return, and every earlier metric is already emitted
+    jax.clear_caches()
+    gc.collect()
     if (
         jax.default_backend() == "tpu"
         and not os.environ.get("BENCH_SKIP_SERVE")
@@ -379,25 +398,9 @@ def main():
             res.doc["extra_metrics"]["serve_static_qps_mixed_prompts"] = round(static_qps, 1)
             res.doc["extra_metrics"]["serve_engine_qps_mixed_prompts"] = round(engine_qps, 1)
             del sparams
-            gc.collect()
         except Exception as e:
             print(f"# serve section failed: {type(e).__name__}: {e}", file=sys.stderr)
     res.emit("serve")
-
-    if (
-        jax.default_backend() == "tpu"
-        and not os.environ.get("BENCH_SKIP_8B")
-        and _budget_left() > 300
-    ):
-        try:
-            sys.path.insert(0, os.path.join(os.path.dirname(__file__), "scripts"))
-            from bench_8b_serving import run_8b_bench
-
-            res.doc["extra_metrics"]["eval_query_throughput_idefics2_8b_int8_1chip"] = round(
-                run_8b_bench(w8a8=True)["qps"], 3
-            )
-        except Exception as e:
-            print(f"# 8B section failed: {type(e).__name__}: {e}", file=sys.stderr)
     res.emit("final")
 
 
