@@ -375,6 +375,7 @@ def main():
             )
         except Exception as e:
             print(f"# 8B section failed: {type(e).__name__}: {e}", file=sys.stderr)
+    res.emit("8b")
     # serve engine vs static batching at mixed prompt lengths (the round-3
     # VERDICT asked for this as a recorded bench metric).  Runs LAST: its
     # engines pin several GB that the 8B build cannot spare (measured: 8B OOMs
