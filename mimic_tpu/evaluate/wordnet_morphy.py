@@ -32,6 +32,16 @@ DATA: ``VERB_EXC``/``VERB_INDEX`` are a vendored subset of WordNet, so words
 outside the vendored vocabulary fall back to "unchanged" where full WordNet
 might still find a lemma.  That divergence class is documented in
 ``tests/test_okvqa_stem_closure.py`` and confined to out-of-vocabulary tokens.
+
+NLTK version assumption: parity is machine-checked against the INSTALLED NLTK
+(3.10), whose ``_morphy`` applies the detachment rules in a single pass.  The
+reference pins ``nltk==3.9.1`` (``/root/reference/requirements.txt``), which
+could not be fetched here (zero egress) to confirm its ``_morphy`` body is
+identical; if 3.9.1 retained an older iterative multi-pass rule loop,
+out-of-vocabulary multi-pass forms (e.g. "seeding") could lemmatize
+differently.  Any such divergence is confined to the already-documented
+out-of-vocabulary trust boundary above — verify 3.9.1's ``_morphy`` matches
+when egress is available.
 """
 
 from __future__ import annotations

@@ -38,7 +38,7 @@ class GenerateResult(NamedTuple):
     scores: jnp.ndarray  # [B] sequence scores (beam) or 0.0 (greedy)
 
 
-def _prefill(params, cfg, batch: LVLMBatch, total_len: int, shift, adapters, lora_scaling, logz2, dtype, attn_impl="xla", prefix=None):
+def _prefill(params, cfg, batch: LVLMBatch, total_len: int, shift, adapters, lora_scaling, logz2, dtype, attn_impl="xla", prefix=None, image_feats=None):
     """Run the prompt through the model, returning (last_logits, cache, state).
 
     ``prefix``: prefix-tuning virtual KV ({"k","v"} [L,P,Hkv,Dh], see
@@ -50,10 +50,12 @@ def _prefill(params, cfg, batch: LVLMBatch, total_len: int, shift, adapters, lor
     with the P virtual slots merged in by logsumexp combination
     (``decoder.py`` ``prefix_merge``) — no [B,Hkv,G,T,S] f32 score tensor even
     at multi-thousand-token prompts.
+
+    ``image_feats``: precomputed encoded image features [B, N*S, D] (e.g. from
+    ``feature_cache.VisionFeatureCache``) — skips the vision tower.
     """
     B, T = batch.input_ids.shape
-    image_feats = None
-    if batch.pixel_values is not None:
+    if image_feats is None and batch.pixel_values is not None:
         image_feats = encode_images(
             params, cfg, batch.pixel_values, batch.patch_mask, attn_impl=attn_impl
         )
@@ -104,6 +106,7 @@ def greedy_generate(
     attn_impl: str = "xla",
     decode_params=None,
     prefix=None,
+    image_feats=None,
 ) -> GenerateResult:
     B, T = batch.input_ids.shape
     from ..shift.prefix import prefix_len
@@ -116,7 +119,7 @@ def greedy_generate(
     dtype = _param_dtype(params)
     last_logits, cache, image_feats = _prefill(
         params, cfg, batch, total, shift, adapters, lora_scaling, logz2, dtype,
-        attn_impl, prefix,
+        attn_impl, prefix, image_feats,
     )
 
     n_real = jnp.sum(batch.attention_mask, axis=-1)  # [B]
@@ -190,6 +193,7 @@ def beam_generate(
     decode_params=None,
     quant_kv: Optional[bool] = None,
     prefix=None,
+    image_feats=None,
 ) -> GenerateResult:
     """HF-semantics beam search (do_sample=False, early_stopping=False).
 
@@ -218,7 +222,7 @@ def beam_generate(
 
     last_logits, cache, image_feats = _prefill(
         params, cfg, batch, total, shift, adapters, lora_scaling, logz2, dtype,
-        attn_impl, prefix,
+        attn_impl, prefix, image_feats,
     )  # logits [B,V], cache leaves [L,B,S,...]
 
     V = last_logits.shape[-1]
@@ -476,6 +480,7 @@ def sample_generate(
     attn_impl: str = "xla",
     decode_params=None,
     prefix=None,
+    image_feats=None,
 ) -> GenerateResult:
     """Ancestral sampling with HF-style logits processing order:
     temperature → top-k → top-p (``do_sample=True`` path of the reference's
@@ -495,7 +500,7 @@ def sample_generate(
     dtype = _param_dtype(params)
     last_logits, cache, image_feats = _prefill(
         params, cfg, batch, total, shift, adapters, lora_scaling, logz2, dtype,
-        attn_impl, prefix,
+        attn_impl, prefix, image_feats,
     )
 
     n_real = jnp.sum(batch.attention_mask, axis=-1)

@@ -66,6 +66,7 @@ class LVLMRunner:
         self.logz2 = logz2
         self.pad_multiple = pad_multiple
         self.length_buckets = tuple(length_buckets)
+        self.vision_cache = None
 
     @property
     def model_name(self) -> str:
@@ -81,6 +82,22 @@ class LVLMRunner:
         self.adapters = adapters
         self.lora_scaling = lora_scaling
         self.prefix = prefix
+
+    def enable_vision_cache(self, max_bytes: int = 512 * 1024 * 1024):
+        """Cache encoded image features across ``generate`` calls, keyed by
+        image content (``models/feature_cache.py``).
+
+        The ICL eval protocol resamples demos from ONE fixed support set
+        (reference ``src/dataset_utils/interface.py:296-317``) — with the
+        cache, each support image's vision encode happens once per eval
+        instead of once per occurrence.  Bit-exact: cached features are the
+        encode function's own outputs.  Inline-splice families only."""
+        from .feature_cache import VisionFeatureCache
+
+        if self.cfg.family == "idefics1":
+            raise ValueError("vision cache does not support cross-attention families")
+        self.vision_cache = VisionFeatureCache(max_bytes=max_bytes)
+        return self.vision_cache
 
     def set_quant(self, quant: Optional[str]) -> None:
         """(Re)build the weight-only int8 serving copy from the CURRENT params.
@@ -105,6 +122,8 @@ class LVLMRunner:
         Not bit-identical to bf16; opt-in (reference is pure fp16 torch,
         ``src/config/train.yaml:16`` — quantization is a TPU-native addition).
         """
+        if self.vision_cache is not None:
+            self.vision_cache.clear()  # params tree changes below
         if quant is None:
             self.decode_params = None
             return
@@ -148,6 +167,38 @@ class LVLMRunner:
             patch_mask=jnp.asarray(enc["patch_mask"]) if "patch_mask" in enc else None,
         )
 
+    def _image_cache_keys(self, images, enc) -> list:
+        """One content key per [B, N] pixel slot (padding slots share a key).
+
+        Source images are hashed raw (pre-processing) when their nesting
+        matches the processed layout; otherwise the processed pixel slots
+        themselves are digested (slower but always layout-correct)."""
+        from .feature_cache import image_key
+
+        B, N = enc["pixel_values"].shape[:2]
+        pad = image_key(None)
+        nested = images
+        if nested is not None and not isinstance(nested, (list, tuple)):
+            nested = [[nested]]
+        elif nested and not isinstance(nested[0], (list, tuple)):
+            nested = [list(nested)]
+        if (
+            nested is not None
+            and len(nested) == B
+            and all(len(row) <= N for row in nested)
+        ):
+            keys = []
+            for row in nested:
+                keys.extend(image_key(im) for im in row)
+                keys.extend([pad] * (N - len(row)))
+            return keys
+        px, mask = enc["pixel_values"], enc["pixel_mask"]
+        return [
+            image_key(px[b, i]) if mask[b, i] else pad
+            for b in range(B)
+            for i in range(N)
+        ]
+
     def generate(
         self,
         images,
@@ -171,21 +222,60 @@ class LVLMRunner:
         old_side = self.tokenizer.padding_side
         self.tokenizer.padding_side = "left"
         try:
-            probe = self.processor(
-                images, text if isinstance(text, list) and isinstance(text[0], str)
+            rendered = (
+                text
+                if isinstance(text, str)
+                or (isinstance(text, list) and text and isinstance(text[0], str))
                 else self.apply_prompt_template(text)
             )
+            probe = self.processor(images, rendered)
             T = probe["input_ids"].shape[1]
             pad_to = _round_up(T, self.pad_multiple)
             if self.length_buckets:
                 fitting = [b for b in self.length_buckets if b >= T]
                 if fitting:
                     pad_to = min(fitting)
-            batch = self.process_input(images, text, pad_to=pad_to)
+            enc = self.processor(images, rendered, pad_to=pad_to)
         finally:
             self.tokenizer.padding_side = old_side
 
         import jax
+
+        attn_impl = "flash" if jax.default_backend() == "tpu" else "xla"
+        image_feats = None
+        use_cache = (
+            self.vision_cache is not None
+            and "pixel_values" in enc
+            and self.cfg.family != "idefics1"
+        )
+        if use_cache:
+            keys = self._image_cache_keys(images, enc)
+            image_feats = self.vision_cache.get_features(
+                self.params, self.cfg, enc["pixel_values"],
+                enc.get("patch_mask"), keys, attn_impl=attn_impl,
+            )
+        batch = LVLMBatch(
+            input_ids=jnp.asarray(enc["input_ids"]),
+            attention_mask=jnp.asarray(enc["attention_mask"]),
+            # cache hits never ship pixels to the device — features are already there
+            pixel_values=(
+                None if use_cache
+                else jnp.asarray(enc["pixel_values"]) if "pixel_values" in enc else None
+            ),
+            pixel_mask=(
+                None if use_cache
+                else jnp.asarray(enc["pixel_mask"]) if "pixel_mask" in enc else None
+            ),
+            image_attention_mask=(
+                jnp.asarray(enc["image_attention_mask"])
+                if "image_attention_mask" in enc
+                else None
+            ),
+            patch_mask=(
+                None if use_cache
+                else jnp.asarray(enc["patch_mask"]) if "patch_mask" in enc else None
+            ),
+        )
 
         common = dict(
             max_new_tokens=max_new_tokens,
@@ -196,9 +286,10 @@ class LVLMRunner:
             lora_scaling=self.lora_scaling,
             logz2=self.logz2,
             # prefill runs the Pallas kernel on TPU (block-aligned via pad_multiple)
-            attn_impl="flash" if jax.default_backend() == "tpu" else "xla",
+            attn_impl=attn_impl,
             decode_params=self.decode_params,
             prefix=self.prefix,
+            image_feats=image_feats,
         )
         if do_sample:
             from .generate import sample_generate

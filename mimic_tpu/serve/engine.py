@@ -161,8 +161,15 @@ class ServeEngine:
             next_tok = jnp.where(fin, pad, next_tok)
             # the just-processed token is now in the cache: open its mask slot
             valid = valid.at[jnp.arange(self.Sp), pos].set(1)
+            # retired / freed-but-unreused slots keep stepping: clamp pos at T
+            # so the valid-mask write stays in range (column T is the
+            # always-attendable current-token column, already 1).  The k/v
+            # scatter at column T is then a DELIBERATE out-of-bounds drop
+            # (JAX scatter update semantics) — prefill fully resets the row on
+            # slot reuse, so nothing downstream reads those columns.
             return (
-                (out.decoder.kv_cache, valid, next_tok, pos + 1, rpos + 1, fin),
+                (out.decoder.kv_cache, valid, next_tok,
+                 jnp.minimum(pos + 1, self.T), rpos + 1, fin),
                 next_tok,
             )
 
@@ -257,19 +264,25 @@ class ServeEngine:
         # across buckets strict arrival order is traded for dispatch count —
         # bounded unfairness: every pending request is admitted within
         # #buckets waves.
-        queues: Dict[int, List[ServeRequest]] = {}
-        for req in self._pending:
-            queues.setdefault(self._bucket_for(len(req.input_ids)), []).append(req)
+        queues: Dict[int, List[int]] = {}  # bucket -> pending-list indices
+        for i, req in enumerate(self._pending):
+            queues.setdefault(self._bucket_for(len(req.input_ids)), []).append(i)
         by_bucket: Dict[int, List[ServeRequest]] = {}
         room = len(free)
+        taken: set = set()
         for bucket in sorted(queues, key=lambda b: -len(queues[b])):
             if room <= 0:
                 break
             take = queues[bucket][:room]
-            by_bucket[bucket] = take
+            by_bucket[bucket] = [self._pending[i] for i in take]
+            taken.update(take)
             room -= len(take)
-        admitted = {id(r) for reqs in by_bucket.values() for r in reqs}
-        self._pending = [r for r in self._pending if id(r) not in admitted]
+        # remove admitted entries by POSITION: the same ServeRequest object
+        # submitted twice is two queue entries, and only the admitted copy
+        # leaves the queue (an id()-based filter would silently drop both)
+        self._pending = [
+            r for i, r in enumerate(self._pending) if i not in taken
+        ]
 
         for bucket, reqs in by_bucket.items():
             # pad the wave to the next power of two (bounds compiled program
