@@ -230,6 +230,9 @@ class Result:
                 "train_step_tf_per_s": None,
                 "serve_engine_qps_mixed_prompts": None,
                 "serve_static_qps_mixed_prompts": None,
+                "icl_cache_qps": None,
+                "icl_uncached_qps": None,
+                "icl_cache_hit_rate": None,
             },
             "detail": {},
         }
@@ -343,6 +346,22 @@ def main():
         except Exception as e:
             print(f"# int8 serving section failed: {type(e).__name__}: {e}", file=sys.stderr)
     res.emit("int8")
+
+    # ICL protocol with the vision-feature cache (round-5): support-set demo
+    # images encode once per eval instead of once per occurrence
+    # (models/feature_cache.py; scripts/bench_icl_cache.py)
+    if jax.default_backend() == "tpu" and _budget_left() > 240:
+        try:
+            sys.path.insert(0, os.path.join(os.path.dirname(__file__), "scripts"))
+            from bench_icl_cache import run_icl_cache_bench
+
+            r = run_icl_cache_bench(cfg, params, tk)
+            res.doc["extra_metrics"]["icl_cache_qps"] = round(r["qps_cached"], 2)
+            res.doc["extra_metrics"]["icl_uncached_qps"] = round(r["qps_uncached"], 2)
+            res.doc["extra_metrics"]["icl_cache_hit_rate"] = round(r["hit_rate"], 3)
+        except Exception as e:
+            print(f"# icl cache section failed: {type(e).__name__}: {e}", file=sys.stderr)
+    res.emit("icl_cache")
 
     # free the small model before the 8B build (it needs the HBM headroom)
     del params, batch, small, last, run

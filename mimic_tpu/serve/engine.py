@@ -14,18 +14,23 @@ TPU serving shape once a model fits one chip:
   block is spliced into a free slot.  Mixed prompt lengths stop costing
   max-length padding for the whole batch — the static-batch tax this engine
   exists to remove.
-- **Zero mid-flight host syncs** (round-4 redesign): slot lifetimes are
-  DETERMINISTIC — a request occupies its slot for exactly
-  ``ceil((max_new_tokens-1)/decode_block)`` decode blocks, EOS or not — so the
-  host schedules every admission and decode block without reading anything
-  back from the device.  EOS is handled *in-program* (a per-slot ``finished``
-  flag pads subsequent tokens, same semantics as ``greedy_generate``) and the
-  generated tokens are pulled in ONE device→host sync at the end of ``run()``.
-  On a remote-tunnel TPU this is the difference between RTT-bound (~2 q/s)
-  and device-bound throughput; on a local chip it removes the per-block
-  latency bubble.  The cost: a slot whose request hits EOS early is not
-  reclaimed until its scheduled blocks elapse — at serving protocols
-  (max_new_tokens 10-20) at most one block of slack.
+- **Stall-free scheduling** (round-4 redesign): slot lifetimes are
+  scheduled DETERMINISTICALLY — a request occupies its slot for at most
+  ``ceil((max_new_tokens-1)/decode_block)`` decode blocks — so the host
+  enqueues every admission and decode block without waiting on the device.
+  EOS is handled *in-program* (a per-slot ``finished`` flag pads subsequent
+  tokens, same semantics as ``greedy_generate``) and the generated tokens are
+  pulled in ONE device→host sync at the end of ``run()``.  On a remote-tunnel
+  TPU this is the difference between RTT-bound (~2 q/s) and device-bound
+  throughput; on a local chip it removes the per-block latency bubble.
+- **Early-EOS slot reclamation** (round-5, ``reclaim=True`` default): the
+  host additionally reads each issued block's tokens ONE BLOCK BEHIND the
+  device — the transfer overlaps the in-flight block's compute, so the
+  pipeline never stalls — and frees slots whose request already emitted EOS
+  instead of letting them burn their remaining scheduled blocks.  On
+  EOS-variable traffic (long ``max_new_tokens`` budgets, short actual
+  generations) this is the continuous-batching win; at uniform short budgets
+  the reader finds nothing and costs nothing on the device stream.
 
 Greedy decode (serving); the MimIC shift stays active when ``shift`` is set
 (μ-gate consumes the masked log-normalizer — empty slot positions are not real
@@ -83,6 +88,7 @@ class ServeEngine:
         shift: Optional[Dict[str, jnp.ndarray]] = None,
         eos_token_id: Optional[int] = None,
         decode_params: Optional[Dict[str, Any]] = None,
+        reclaim: bool = True,
     ):
         if cfg.family == "idefics1":
             raise ValueError("serve engine does not support cross-attention families")
@@ -128,6 +134,18 @@ class ServeEngine:
         self._claims: List[tuple] = []
         self._firsts: List[jnp.ndarray] = []          # per-admission first tokens
         self._chunks: List[jnp.ndarray] = []          # per-block toks [block, S]
+        # early-EOS slot reclamation (round-5): the host reads each issued
+        # block's tokens ONE BLOCK BEHIND the device (the read overlaps the
+        # next block's compute, so the zero-stall pipeline is kept) and frees
+        # slots whose tenant already emitted EOS instead of letting them burn
+        # their remaining scheduled blocks.  ``_tenant[slot]`` is the claim
+        # index currently occupying the slot — chunk rows are attributed to
+        # the tenant that owned the slot for those steps, so a reused slot's
+        # old data can never free the new tenant.
+        self.reclaim = reclaim
+        self._tenant: Dict[int, int] = {}
+        self.reclaimed_blocks = 0                     # scheduled blocks saved
+        self.blocks_run = 0                           # decode blocks issued
 
     # -- compiled programs ---------------------------------------------------
 
@@ -254,10 +272,13 @@ class ServeEngine:
                 return b
         raise ValueError(f"prompt length {n} exceeds largest bucket {self.buckets[-1]}")
 
-    def _admit(self) -> None:
+    def _admit(self) -> List[tuple]:
+        """Admit pending requests into free slots; returns the new waves'
+        unread-first records (for the reclamation reader)."""
+        new_items: List[tuple] = []
         free = [s for s in range(self.S) if not self._alive[s]]
         if not free or not self._pending:
-            return
+            return new_items
         # bucket-major admission: fill the wave from the deepest bucket queues
         # first, so a wave needs as few distinct prefill programs (= device
         # dispatches) as possible.  Within a bucket, arrival order is kept;
@@ -332,6 +353,7 @@ class ServeEngine:
             )
             wave = len(self._firsts)
             self._firsts.append(first)  # device array — pulled once at the end
+            entries = []
             for a, r in enumerate(reqs):
                 slot = int(slots[a])
                 self._len[slot] = bucket + 1
@@ -339,31 +361,85 @@ class ServeEngine:
                 blocks = -(-budget // self.decode_block) if budget > 0 else 0
                 self._alive[slot] = blocks > 0
                 self._blocks_left[slot] = blocks
+                seq = len(self._claims)
                 self._claims.append(
                     (r.uid, (wave, a), len(self._chunks), budget, slot)
                 )
+                self._tenant[slot] = seq
+                entries.append((a, slot, seq))
+            new_items.append(("first", wave, entries))
+        return new_items
 
     def run(self) -> List[ServeResult]:
         """Process all submitted requests to completion; returns results
         ordered by uid.
 
-        The loop issues work only — admissions and decode blocks enqueue on
-        the device stream with NO device→host reads (slot lifetimes are
-        deterministic).  One sync at the end pulls every generated token."""
+        The loop issues work first — admissions and decode blocks enqueue on
+        the device stream — then (``reclaim=True``) reads the tokens of
+        everything issued EXCEPT the newest block, one block behind the
+        device, so the read overlaps the in-flight block's compute instead of
+        stalling the stream.  A slot whose tenant's read-back tokens contain
+        EOS is freed immediately: its remaining scheduled blocks are never
+        issued, and (with a queue) the slot re-admits a pending request a
+        block later.  With ``reclaim=False`` lifetimes are fully deterministic
+        and the only device→host sync is the final ``_collect`` pull."""
+        unread: List[tuple] = []
         while self._pending or self._alive.any():
-            self._admit()
-            if not self._alive.any():
-                continue
-            (self._cache, self._valid, self._tok, self._pos, self._rpos,
-             self._fin, toks) = self._decode_steps(
-                self.decode_params, self.shift, self._cache, self._valid,
-                self._tok, self._pos, self._rpos, self._fin,
-            )
-            self._chunks.append(toks)  # device array [decode_block, S]
-            live = self._alive.nonzero()[0]
-            self._blocks_left[live] -= 1
-            self._alive[live] = self._blocks_left[live] > 0
+            unread.extend(self._admit())
+            if self._alive.any():
+                (self._cache, self._valid, self._tok, self._pos, self._rpos,
+                 self._fin, toks) = self._decode_steps(
+                    self.decode_params, self.shift, self._cache, self._valid,
+                    self._tok, self._pos, self._rpos, self._fin,
+                )
+                self._chunks.append(toks)  # device array [decode_block, S]
+                unread.append(("chunk", len(self._chunks) - 1))
+                self.blocks_run += 1
+                live = self._alive.nonzero()[0]
+                self._blocks_left[live] -= 1
+                self._alive[live] = self._blocks_left[live] > 0
+            if self.reclaim and len(unread) > 1:
+                for item in unread[:-1]:
+                    self._reclaim_item(item)
+                del unread[:-1]
         return self._collect()
+
+    def _reclaim_item(self, item: tuple) -> None:
+        """Scan one read-back record (a wave's first tokens or a decode
+        block's chunk) for EOS and free the emitting slots early."""
+        if item[0] == "first":
+            _, wave, entries = item
+            first = np.asarray(self._firsts[wave])
+            for a, slot, seq in entries:
+                if (
+                    self._alive[slot]
+                    and self._tenant.get(slot) == seq
+                    and int(first[a]) == self.eos
+                ):
+                    self.reclaimed_blocks += int(self._blocks_left[slot])
+                    self._alive[slot] = False
+                    self._blocks_left[slot] = 0
+        else:
+            _, ci = item
+            chunk = np.asarray(self._chunks[ci])  # [decode_block, Sp]
+            lo = ci * self.decode_block
+            for slot in range(self.S):
+                if not self._alive[slot]:
+                    continue
+                seq = self._tenant.get(slot)
+                if seq is None:
+                    continue
+                _, _, c0, budget, _ = self._claims[seq]
+                if ci < c0:
+                    continue  # chunk predates this tenant (slot was reused)
+                start = max(lo, c0 * self.decode_block)
+                stop = min(lo + self.decode_block, c0 * self.decode_block + budget)
+                if stop <= start:
+                    continue
+                if (chunk[start - lo : stop - lo, slot] == self.eos).any():
+                    self.reclaimed_blocks += int(self._blocks_left[slot])
+                    self._alive[slot] = False
+                    self._blocks_left[slot] = 0
 
     def _collect(self) -> List[ServeResult]:
         """ONE device→host sync: pull all block tokens + first tokens, then

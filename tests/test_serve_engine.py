@@ -158,6 +158,64 @@ class TestServeEngine:
             for r, e in zip(results, expect):
                 assert r.tokens == e, (_run, r.uid, r.tokens, e)
 
+    def test_reclaim_frees_slots_early(self):
+        """EOS-heavy model + long budgets: the reclamation reader must free
+        slots at EOS instead of burning the scheduled blocks, and results must
+        still match static greedy (truncation semantics unchanged)."""
+        cfg, params, tk = _model("text")
+        # bias the unembedding ([D, V]: scale the EOS *column*) so EOS wins
+        # argmax within a few steps
+        head = params["lm"]["lm_head"]
+        params["lm"]["lm_head"] = head.at[:, tk.eos_token_id].set(
+            head[:, tk.eos_token_id] * 12.0
+        )
+        rng = np.random.default_rng(7)
+        prompts = [
+            rng.integers(4, 250, size=(n,)).astype(np.int32)
+            for n in (5, 9, 13, 7, 11, 6)
+        ]
+        max_new = 24  # 12 blocks of 2 — mostly reclaimable
+
+        def run(reclaim):
+            eng = ServeEngine(
+                cfg, params, num_slots=2, max_len=64,
+                prefill_buckets=(16,), decode_block=2, reclaim=reclaim,
+            )
+            for i, p in enumerate(prompts):
+                eng.submit(ServeRequest(uid=i, input_ids=p, max_new_tokens=max_new))
+            res = eng.run()
+            return res, eng
+
+        res_on, eng_on = run(True)
+        res_off, eng_off = run(False)
+        expect = [_static_greedy(cfg, params, tk, p, max_new) for p in prompts]
+        for r_on, r_off, e in zip(res_on, res_off, expect):
+            assert r_on.tokens == e, (r_on.uid, r_on.tokens, e)
+            assert r_off.tokens == e
+        # the biased head must actually produce early EOS for this test to bite
+        assert any(len(e) < max_new for e in expect)
+        assert eng_on.reclaimed_blocks > 0
+        assert eng_on.blocks_run < eng_off.blocks_run
+
+    def test_duplicate_submission_processed_twice(self):
+        """The SAME ServeRequest object submitted twice is two queue entries;
+        with one slot only one fits the first wave — the second must not be
+        silently dropped (round-4 ADVICE: id()-based dedup dropped both)."""
+        cfg, params, tk = _model("text")
+        rng = np.random.default_rng(8)
+        p = rng.integers(4, 250, size=(9,)).astype(np.int32)
+        req = ServeRequest(uid=0, input_ids=p, max_new_tokens=4)
+        eng = ServeEngine(
+            cfg, params, num_slots=1, max_len=32, prefill_buckets=(16,),
+        )
+        eng.submit(req)
+        eng.submit(req)
+        results = eng.run()
+        assert len(results) == 2
+        expect = _static_greedy(cfg, params, tk, p, 4)
+        for r in results:
+            assert r.tokens == expect
+
     def test_engine_max_new_one(self):
         """max_new_tokens=1: the request needs zero decode blocks — the slot
         must free immediately and the single prefill token must round-trip."""
