@@ -54,6 +54,7 @@ class LVLMRunner:
         self.cfg = cfg
         self.decode_params = None
         self.params = params
+        self.vision_cache = None
         if quant:
             self.set_quant(quant)
         self.tokenizer = tokenizer
@@ -66,7 +67,6 @@ class LVLMRunner:
         self.logz2 = logz2
         self.pad_multiple = pad_multiple
         self.length_buckets = tuple(length_buckets)
-        self.vision_cache = None
 
     @property
     def model_name(self) -> str:

@@ -643,6 +643,37 @@ def fused_mlp(xn: jnp.ndarray, gateup: Any, down: Any) -> Optional[jnp.ndarray]:
     return out.reshape(*lead, D)
 
 
+def _input_vjp(run_kernel, wq, scale, layer):
+    """Wrap a Pallas matmul call so it differentiates w.r.t. the ACTIVATIONS.
+
+    Frozen-weight training (the MimIC regime: the base model never gets
+    gradients, reference ``src/shift_model.py`` trains only shift params)
+    needs dX through every int8 matmul of the shift pass.  The kernels have no
+    transpose rule, but the exact pullback of ``x @ deq(W)`` is just
+    ``dY @ deq(W)ᵀ`` — computed here as an XLA dot with the dequantization
+    fused into it (no persistent dequantized copy).  For W8A8 forwards this is
+    a straight-through estimate (the per-token activation rounding is treated
+    as identity — standard QAT practice).
+    """
+
+    @jax.custom_vjp
+    def f(xm):
+        return run_kernel(xm)
+
+    def fwd(xm):
+        return run_kernel(xm), None
+
+    def bwd(_, dy):
+        wl = wq if layer is None else jnp.take(wq, layer, axis=0)
+        sl = scale if layer is None else jnp.take(scale, layer, axis=0)
+        deq = wl.astype(jnp.float32) * sl.astype(jnp.float32)[None, :]
+        dx = jnp.dot(dy.astype(jnp.float32), deq.T).astype(dy.dtype)
+        return (dx,)
+
+    f.defvjp(fwd, bwd)
+    return f
+
+
 def qdot(
     x: jnp.ndarray,
     w: Any,
@@ -653,6 +684,8 @@ def qdot(
     For plain arrays this is exactly ``jnp.dot(x, w)``.  For quantized weights it
     runs the dequant-fused kernel on TPU (jnp fallback elsewhere) and slices the
     lane padding back off.  ``x`` may have any leading shape ([..., K]).
+    Every path is differentiable w.r.t. ``x`` (``_input_vjp``), so a frozen
+    int8 tower can sit inside the dual-pass train step.
     """
     if not is_quantized(w):
         if preferred_element_type is not None:
@@ -678,26 +711,29 @@ def qdot(
             # W8A8: per-token activation quantization + int8×int8 MXU matmul
             # (~2× the bf16 dot rate; Mosaic-only — see module docstring).
             # Opt-in via quantize-with-act_quant; not bit-parity.
-            m_pad = _round_up(M, 128) - M
-            x8, xs = quantize_rows(xm)
-            if m_pad:
-                x8 = jnp.pad(x8, ((0, m_pad), (0, 0)))
-                xs = jnp.pad(xs, ((0, m_pad),))
             sc = scale
             if n != n_stored:
                 pad = [(0, 0)] * (sc.ndim - 1) + [(0, n_stored - n)]
                 sc = jnp.pad(sc, pad)
-            if layer is not None:
-                out = w8a8_matmul_stacked(
-                    x8, xs, wq, sc.astype(jnp.float32), layer,
-                    out_dtype=out_dtype,
-                )
-            else:
-                out = w8a8_matmul(
-                    x8, xs, wq, sc.astype(jnp.float32), out_dtype=out_dtype
-                )
-            if m_pad:
-                out = out[:M]
+
+            def run_w8a8(xm_):
+                m_pad = _round_up(xm_.shape[0], 128) - xm_.shape[0]
+                x8, xs = quantize_rows(xm_)
+                if m_pad:
+                    x8 = jnp.pad(x8, ((0, m_pad), (0, 0)))
+                    xs = jnp.pad(xs, ((0, m_pad),))
+                if layer is not None:
+                    o = w8a8_matmul_stacked(
+                        x8, xs, wq, sc.astype(jnp.float32), layer,
+                        out_dtype=out_dtype,
+                    )
+                else:
+                    o = w8a8_matmul(
+                        x8, xs, wq, sc.astype(jnp.float32), out_dtype=out_dtype
+                    )
+                return o[: xm_.shape[0]] if m_pad else o
+
+            out = _input_vjp(run_w8a8, wq, sc, layer)(xm)
             if n != n_stored:
                 out = out[:, :n]
             return out.reshape(*lead, n)
@@ -732,15 +768,16 @@ def qdot(
         bn = 2048
         bk = 2048 if n_stored >= 8192 else 1024
         if layer is not None:
-            out = int8_matmul_stacked(
-                xm, wq, scale.astype(jnp.float32), layer, out_dtype=out_dtype,
+            run = lambda xm_: int8_matmul_stacked(
+                xm_, wq, scale.astype(jnp.float32), layer, out_dtype=out_dtype,
                 block_m=bm, block_n=bn, block_k=bk,
             )
         else:
-            out = int8_matmul(
-                xm, wq, scale.astype(jnp.float32), out_dtype=out_dtype,
+            run = lambda xm_: int8_matmul(
+                xm_, wq, scale.astype(jnp.float32), out_dtype=out_dtype,
                 block_m=bm, block_n=bn, block_k=bk,
             )
+        out = _input_vjp(run, wq, scale, layer)(xm)
         if m_pad:
             out = out[:M]
         if n != n_stored:

@@ -1,0 +1,183 @@
+"""Single-chip 8B MimIC TRAINING bench: dual-pass step, int8 frozen tower.
+
+The reference's flagship workload is *training* MimIC on idefics2-8b, which
+needs a ≥40 GB GPU with ZeRO-2 + CPU offload (``scripts/run_mimic.sh:14``
+``requires_memory 40000``, ``src/config/train.yaml:14``
+``deepspeed_stage_2_offload``).  The TPU build fits the same dual-pass step on
+ONE 16 GB v5e chip:
+
+- the frozen tower is held int8 (weight-only, per-channel — the serving
+  build's device-side leaf-streaming quantization, ``bench_8b_serving.py``);
+  every int8 matmul differentiates w.r.t. activations through
+  ``ops/quant.py::_input_vjp`` (dX = dY·deq(W)ᵀ, exact);
+- only the tiny shift pytree gets gradients/optimizer state (the MimIC
+  regime, reference ``src/shift_model.py:306-357``) — no ZeRO, no offload;
+- the quality gate for int8-tower training is
+  ``tests/test_train_int8_tower.py`` (loss curves within 5%, trained-shift
+  cosine >0.98 vs the bf16 tower on the oracle model).
+
+Protocol shapes follow the reference train scale: batch 2, record pass
+T=2048 with 8 demo images + 1 query image per sample (980px, variable-aspect
+path), shift pass T=256 with the query image; losses LM + layer-wise MSE on
+M=64 gathered query rows (``src/config/peft/mimic.yaml``).
+
+Usage: ``python scripts/bench_8b_train.py``
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+sys.path.insert(0, "/root/repo")
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import numpy as np
+
+
+def _enable_compile_cache():
+    import jax
+
+    try:
+        jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+        jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+    except Exception:
+        pass
+
+
+def make_train_batch(cfg, B=2, T_rec=2048, T_shift=256, n_demo_img=8, M=64):
+    import jax.numpy as jnp
+
+    size = cfg.vision.image_size
+    ng = size // 14
+    rng = np.random.default_rng(0)
+    S = cfg.image_seq_len  # 64 inline tokens per image
+
+    full_ids = rng.integers(300, 32000, size=(B, T_rec)).astype(np.int32)
+    for i in range(n_demo_img + 1):  # demo images + the query image
+        pos = 4 + i * (S + 128)
+        full_ids[:, pos : pos + S] = cfg.image_token_id
+    query_ids = rng.integers(300, 32000, size=(B, T_shift)).astype(np.int32)
+    query_ids[:, 4 : 4 + S] = cfg.image_token_id
+
+    def pixels(n):
+        return (
+            jnp.asarray(
+                rng.normal(size=(B, n, size, size, 3)).astype(np.float32),
+                jnp.bfloat16,
+            ),
+            jnp.ones((B, n), jnp.int32),
+            jnp.ones((B, n, ng, ng), jnp.int32),
+        )
+
+    fpx, fpm, fpatch = pixels(n_demo_img + 1)
+    qpx, qpm, qpatch = pixels(1)
+    idx = jnp.asarray(np.tile(np.arange(M)[None], (B, 1)), jnp.int32)
+    return {
+        "full_ids": jnp.asarray(full_ids),
+        "full_mask": jnp.ones((B, T_rec), jnp.int32),
+        "full_pixels": fpx, "full_pixel_mask": fpm, "full_patch_mask": fpatch,
+        "query_ids": jnp.asarray(query_ids),
+        "query_mask": jnp.ones((B, T_shift), jnp.int32),
+        "query_pixels": qpx, "query_pixel_mask": qpm, "query_patch_mask": qpatch,
+        "prefix_q_idx": idx, "shift_q_idx": idx,
+        "q_valid": jnp.ones((B, M), jnp.int32),
+    }
+
+
+def analytic_flops(cfg, B, T_rec, T_shift, n_imgs, M):
+    """Matmul+attention FLOPs of the dual-pass step (text: record fwd + shift
+    fwd + activation-only backward; vision: forward per image, no grads —
+    XLA generates no vision backward since no trainable input feeds it)."""
+    t = cfg.text
+    D, H, Dh = t.hidden_size, t.num_heads, t.head_size
+    Hkv, F, L, V = t.num_kv_heads, t.intermediate_size, t.num_layers, t.vocab_size
+    p_layer = L * (D * (H * Dh + 2 * Hkv * Dh) + H * Dh * D + 3 * D * F)
+
+    def text_fwd(tokens, ctx):
+        return 2 * p_layer * tokens + L * 2 * tokens * ctx * H * Dh
+
+    text = (
+        text_fwd(B * T_rec, T_rec)
+        + 3 * text_fwd(B * T_shift, T_shift)  # fwd + dX backward (~2× fwd)
+        + 2 * (2 * M * B * D * V)             # gathered lm_head rows, both passes
+    )
+    v = cfg.vision
+    N = (v.image_size // v.patch_size) ** 2
+    Np = ((N + 127) // 128) * 128  # lane-padded attention length
+    pv_layer = v.num_layers * (4 * v.hidden_size**2 + 2 * v.hidden_size * v.intermediate_size)
+    vision_one = 2 * pv_layer * N + v.num_layers * 4 * Np * Np * v.hidden_size
+    return text, n_imgs * vision_one
+
+
+def main():
+    _enable_compile_cache()
+    import jax
+    import jax.numpy as jnp
+
+    from bench_8b_serving import build_8b_int8
+    from mimic_tpu.config import get_preset
+    from mimic_tpu.shift.params import init_shift_params
+    from mimic_tpu.train import TrainState, build_optimizer, make_train_step
+
+    cfg, params, tk, n_params = build_8b_int8()
+
+    enc, peft = get_preset("mimic")
+    shift = init_shift_params(enc, cfg.text, jax.random.PRNGKey(1))
+    trainable = {"shift": shift}
+    n_train = sum(int(np.prod(p.shape)) for p in jax.tree.leaves(trainable))
+    print(f"trainable shift params: {n_train/1e6:.2f}M", flush=True)
+
+    tx = build_optimizer(
+        trainable, lr=peft.lr, weight_decay=1e-3, warmup_steps=10,
+        total_steps=1000, grad_clip=1.0,
+    )
+    step = make_train_step(
+        cfg, enc, tx,
+        ce_loss_weight=peft.ce_loss_weight,
+        align_loss_weight=peft.align_loss_weight,
+        donate=False,
+        attn_impl="flash" if jax.default_backend() == "tpu" else "xla",
+    )
+    state = TrainState(trainable, tx.init(trainable), jnp.zeros((), jnp.int32))
+
+    B, T_rec, T_shift, n_demo, M = 2, 2048, 256, 8, 64
+    batch = make_train_batch(cfg, B, T_rec, T_shift, n_demo, M)
+
+    t0 = time.perf_counter()
+    state2, metrics = step(state, params, batch)
+    loss0 = float(np.asarray(metrics["loss"]))
+    print(
+        f"compile+first step {time.perf_counter()-t0:.0f}s, loss {loss0:.4f}",
+        flush=True,
+    )
+
+    iters = 5
+    t0 = time.perf_counter()
+    m = None
+    for _ in range(iters):
+        state2, m = step(state2, params, batch)
+    last_loss = float(np.asarray(m["loss"]))  # device sync
+    dt = (time.perf_counter() - t0) / iters
+
+    text_f, vision_f = analytic_flops(
+        cfg, B, T_rec, T_shift, B * (n_demo + 2), M
+    )
+    flops = text_f + vision_f
+    peak = 197e12  # v5e bf16 (the step's matmuls run bf16 after dequant)
+    print(
+        f"8B dual-pass train step: {dt*1e3:.0f} ms/step  "
+        f"({flops/1e12:.1f} TF analytic: text {text_f/1e12:.1f} + vision "
+        f"{vision_f/1e12:.1f}) -> {flops/dt/1e12:.1f} TF/s, "
+        f"MFU {flops/dt/peak:.3f} vs bf16 peak",
+        flush=True,
+    )
+    print(f"loss {loss0:.4f} -> {last_loss:.4f} over {iters+1} steps", flush=True)
+    grad_norm = float(np.asarray(m["grad_norm"]))
+    print(f"grad_norm {grad_norm:.4f}", flush=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -82,7 +82,7 @@ def make_static_chunked(cfg, params, tk, bucket, budget, chunk):
     total = bucket + budget
 
     @jax.jit
-    def prefill(ids, mask):
+    def prefill(params, ids, mask):
         batch = LVLMBatch(input_ids=ids, attention_mask=mask)
         last_logits, cache, _ = _prefill(
             params, cfg, batch, total, None, None, 1.0, "unmasked",
@@ -96,8 +96,8 @@ def make_static_chunked(cfg, params, tk, bucket, budget, chunk):
         )
         return first, cache, n_real, mask_full
 
-    @partial(jax.jit, donate_argnums=(1, 2, 3, 4))
-    def chunk_steps(i0, tok, cache, mask_full, fin, n_real):
+    @partial(jax.jit, donate_argnums=(2, 3, 4, 5))
+    def chunk_steps(params, i0, tok, cache, mask_full, fin, n_real):
         """``chunk`` greedy steps starting at generated-position i0
         (mirrors ``greedy_generate``'s step body exactly)."""
 
@@ -129,7 +129,7 @@ def make_static_chunked(cfg, params, tk, bucket, budget, chunk):
             ids[i, bucket - len(p):] = p
             mask[i, bucket - len(p):] = 1
         first, cache, n_real, mask_full = prefill(
-            jnp.asarray(ids), jnp.asarray(mask)
+            params, jnp.asarray(ids), jnp.asarray(mask)
         )
         tok = first
         fin = jnp.zeros((B,), bool)
@@ -139,7 +139,7 @@ def make_static_chunked(cfg, params, tk, bucket, budget, chunk):
         issued = []
         for c in range(n_chunks):
             tok, cache, mask_full, fin, toks = chunk_steps(
-                c * chunk, tok, cache, mask_full, fin, n_real
+                params, c * chunk, tok, cache, mask_full, fin, n_real
             )
             chunks.append(toks)
             issued.append(toks)

@@ -156,6 +156,65 @@ def test_qdot_compiled_matches_dequant():
 
 
 @requires_tpu
+def test_qdot_input_grad_all_paths():
+    """``qdot`` differentiates w.r.t. the activations on EVERY dispatch path
+    (streaming kernel M<256, dequant+dot M≥256, stacked, W8A8-STE) — the
+    property 8B frozen-int8-tower training rests on (``_input_vjp``)."""
+    from mimic_tpu.ops.quant import qdot, quantize_weight
+
+    rng = np.random.default_rng(3)
+    K, N, L = 512, 768, 3
+    w = jnp.asarray(rng.normal(size=(K, N)), jnp.bfloat16)
+    qw = quantize_weight(w)
+    deq = jnp.asarray(
+        np.asarray(qw["q8"][:, :N], np.float32) * np.asarray(qw["scale"], np.float32),
+        jnp.bfloat16,
+    )
+    cot = None
+
+    def loss(x, weight):
+        y = qdot(x, weight, preferred_element_type=jnp.float32)
+        return jnp.sum(jnp.sin(y[:, :N]) * cot)
+
+    for M in (48, 512):  # streaming-kernel path / dequant+dot path
+        x = jnp.asarray(rng.normal(size=(M, K)), jnp.bfloat16)
+        cot = jnp.asarray(rng.normal(size=(M, N)), jnp.float32)
+        got = np.asarray(jax.jit(jax.grad(loss))(x, qw), np.float32)
+        want = np.asarray(jax.jit(jax.grad(loss))(x, deq), np.float32)
+        denom = max(np.abs(want).max(), 1.0)
+        assert np.abs(got - want).max() / denom < 5e-2, f"M={M}"
+
+    # stacked scalar-prefetch handle
+    ws = quantize_weight(jnp.asarray(rng.normal(size=(L, K, N)), jnp.bfloat16))
+    handle = dict(ws, layer=jnp.int32(1))
+    deq1 = jnp.asarray(
+        np.asarray(ws["q8"][1, :, :N], np.float32)
+        * np.asarray(ws["scale"][1], np.float32),
+        jnp.bfloat16,
+    )
+    x = jnp.asarray(rng.normal(size=(48, K)), jnp.bfloat16)
+    cot = jnp.asarray(rng.normal(size=(48, N)), jnp.float32)
+    got = np.asarray(jax.jit(jax.grad(loss))(x, handle), np.float32)
+    want = np.asarray(jax.jit(jax.grad(loss))(x, deq1), np.float32)
+    assert np.abs(got - want).max() / max(np.abs(want).max(), 1.0) < 5e-2
+
+    # W8A8 (M>=256 engages the int8-MXU kernel): straight-through estimate —
+    # the PULLBACK must equal the weight-only one (dX = cot·deqᵀ exactly; a
+    # nonlinear functional would smuggle the act-quant FORWARD noise into the
+    # comparison, which is the documented STE deviation, not a VJP bug)
+    qa = dict(qw, a8=jnp.zeros((0,), jnp.int8))
+    x = jnp.asarray(rng.normal(size=(512, K)), jnp.bfloat16)
+    cot = jnp.asarray(rng.normal(size=(512, N)), jnp.float32)
+
+    def lin_loss(x, weight):
+        return jnp.sum(qdot(x, weight, preferred_element_type=jnp.float32)[:, :N] * cot)
+
+    got = np.asarray(jax.jit(jax.grad(lin_loss))(x, qa), np.float32)
+    want = np.asarray(jax.jit(jax.grad(lin_loss))(x, deq), np.float32)
+    assert np.abs(got - want).max() / max(np.abs(want).max(), 1.0) < 5e-2
+
+
+@requires_tpu
 def test_fused_mlp_compiled_matches_reference():
     """One-kernel SwiGLU MLP (compiled Mosaic) == dequant two-matmul reference."""
     from mimic_tpu.ops.quant import fused_mlp, quantize_weight
