@@ -79,6 +79,7 @@ def compute_loss(
     lora_dropout: float = 0.0,
     dropout_rng: Optional[jax.Array] = None,
     ring_kwargs: Optional[Dict[str, Any]] = None,
+    shift_remat: bool = False,
 ) -> Tuple[jnp.ndarray, Dict[str, jnp.ndarray]]:
     shift = trainable.get("shift") or None
     lora = trainable.get("lora") or None
@@ -93,10 +94,14 @@ def compute_loss(
     if need_prefix:
         # record pass: frozen weights, adapters disabled (reference
         # ``disable_adapter()``, :225), gradients cannot flow (no trainable inputs)
+        # Only the KL strategies read the record logits — for the others, skip
+        # the [B,T,V] unembed (at 8B scale the f32 logits of a 2048-token
+        # record pass are 0.5 GB of the 16 GB chip, and they were dead)
         out1 = lvlm_forward(
             frozen, cfg, _full_lvlm_batch(batch),
             capture_attn=rec_attn, capture_ffn=rec_ffn, logz2=logz2,
             attn_impl=attn_impl, **ring_kwargs,
+            last_logit_only=Strategy.LOGITS_KL_DIV not in strategy,
             capture_gather_idx=batch.get("prefix_q_idx") if layer_wise else None,
         )
         prefix_logits = jax.lax.stop_gradient(out1.logits)
@@ -125,6 +130,7 @@ def compute_loss(
         lora_dropout=lora_dropout, dropout_rng=dropout_rng,
         multi_head=mh, capture_attn=rec_attn, capture_ffn=rec_ffn, logz2=logz2,
         attn_impl=pass2_impl, **ring_kwargs, **prefix_kwargs,
+        remat=shift_remat,
         capture_gather_idx=batch.get("shift_q_idx") if layer_wise else None,
     )
 
@@ -195,6 +201,7 @@ def make_train_step(
     ring_axis: str = "sp",
     ring_batch_axis: Optional[str] = None,
     ring_min_len: int = 0,
+    shift_remat: bool = False,
 ):
     """Build the jitted (state, frozen, batch) → (state, metrics) step.
 
@@ -230,6 +237,7 @@ def make_train_step(
         logz2=logz2,
         attn_impl=attn_impl,
         ring_kwargs=ring_kwargs,
+        shift_remat=shift_remat,
     )
     base_rng = jax.random.PRNGKey(seed)
 

@@ -140,6 +140,10 @@ def main():
         align_loss_weight=peft.align_loss_weight,
         donate=False,
         attn_impl="flash" if jax.default_backend() == "tpu" else "xla",
+        # recompute shift-pass layer internals in the backward (HBM headroom;
+        # the shift pass is 1/8 the record pass's tokens, so the extra FLOPs
+        # are small next to the record forward)
+        shift_remat=True,
     )
     state = TrainState(trainable, tx.init(trainable), jnp.zeros((), jnp.int32))
 
