@@ -233,6 +233,8 @@ class Result:
                 "icl_cache_qps": None,
                 "icl_uncached_qps": None,
                 "icl_cache_hit_rate": None,
+                "serve_varlen_engine_qps": None,
+                "serve_varlen_static_earlystop_qps": None,
             },
             "detail": {},
         }
@@ -421,6 +423,30 @@ def main():
         except Exception as e:
             print(f"# serve section failed: {type(e).__name__}: {e}", file=sys.stderr)
     res.emit("serve")
+
+    # EOS-variable serving: engine with early-EOS slot reclamation vs the
+    # chunked-early-stop static baseline (round 5; scripts/bench_serve_varlen.py)
+    jax.clear_caches()
+    gc.collect()
+    if (
+        jax.default_backend() == "tpu"
+        and not os.environ.get("BENCH_SKIP_SERVE")
+        and _budget_left() > 500
+    ):
+        try:
+            from bench_serve_varlen import build_eos_model, run_engine, run_static
+            from bench_serve_varlen import make_requests as make_var_requests
+
+            vcfg, vparams, vtk = build_eos_model()
+            vreqs = make_var_requests()
+            v_static, _ = run_static(vcfg, vparams, vtk, vreqs)
+            v_engine, _, _ = run_engine(vcfg, vparams, vtk, vreqs, reclaim=True)
+            res.doc["extra_metrics"]["serve_varlen_static_earlystop_qps"] = round(v_static, 1)
+            res.doc["extra_metrics"]["serve_varlen_engine_qps"] = round(v_engine, 1)
+            del vparams
+        except Exception as e:
+            print(f"# serve varlen section failed: {type(e).__name__}: {e}", file=sys.stderr)
+    res.emit("serve_varlen")
     res.emit("final")
 
 
