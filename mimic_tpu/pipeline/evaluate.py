@@ -137,6 +137,20 @@ def run_eval(
     if num_replicas > 1:
         adapter.set_eval_shard(rank, num_replicas)
 
+    # vision-feature cache: the ICL protocol's fixed support images encode
+    # once per eval instead of once per occurrence (bit-exact; measured
+    # 13.7 → 18.9 q/s, BASELINE.md round 5).  idefics1 cross-attention is
+    # excluded by the runner itself.
+    if (
+        getattr(cfg, "vision_cache", False)
+        and hasattr(runner, "enable_vision_cache")
+        and getattr(runner, "vision_cache", None) is None
+        and runner.cfg.family != "idefics1"
+    ):
+        runner.enable_vision_cache(
+            max_bytes=getattr(cfg, "vision_cache_mb", 512) * 1024 * 1024
+        )
+
     records, eval_result = adapter.eval(cfg, runner)
 
     if num_replicas > 1:

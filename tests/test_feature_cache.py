@@ -57,8 +57,11 @@ def make_runner():
     return LVLMRunner(cfg, params, tk, pad_multiple=32)
 
 
-def eval_cfg(num_shot=2):
+def eval_cfg(num_shot=2, vision_cache=False):
+    # vision_cache=False here so the BASELINE run is genuinely uncached
+    # (run_eval enables the cache by default, EvalConfig.vision_cache)
     cfg = EvalConfig(model_name="tiny-idefics2", batch_size=2, iterations=2)
+    cfg.vision_cache = vision_cache
     cfg.data = DataConfig(
         name="vqav2", num_query_samples=4, num_shot=num_shot, seed=3407
     )
@@ -96,6 +99,18 @@ class TestCachedEvalBitExact:
         assert cache.hits > 0
         assert cache.misses > 0
         assert len(cache) <= cache.misses  # dedup never stores twice
+
+    def test_run_eval_enables_cache_by_default(self, tmp_path):
+        """EvalConfig.vision_cache defaults on — run_eval wires the cache
+        into the runner for inline-splice families."""
+        runner = make_runner()
+        assert runner.vision_cache is None
+        run_eval(
+            eval_cfg(vision_cache=True), runner,
+            result_dir=str(tmp_path), splits=synthetic_vqa_splits(n_train=4),
+        )
+        assert runner.vision_cache is not None
+        assert runner.vision_cache.misses > 0
 
     def test_second_eval_mostly_hits(self, tmp_path):
         splits = synthetic_vqa_splits(n_train=4)
