@@ -81,12 +81,15 @@ class TestLengthBuckets:
         params = init_lvlm_params(cfg, jax.random.PRNGKey(0))
         runner = LVLMRunner(cfg, params, tk, pad_multiple=16, length_buckets=(32, 64))
         captured = {}
-        orig = runner.process_input
+        orig = runner.processor
 
-        def spy(images, text, pad_to=None):
-            captured["pad_to"] = pad_to
-            return orig(images, text, pad_to=pad_to)
+        class Spy:
+            def __call__(self, images, text, pad_to=None, **kw):
+                # generate() probes first (pad_to=None), then pads to the bucket
+                if pad_to is not None:
+                    captured["pad_to"] = pad_to
+                return orig(images, text, pad_to=pad_to, **kw)
 
-        runner.process_input = spy
+        runner.processor = Spy()
         runner.generate(None, ["short text"], num_beams=1, max_new_tokens=2)
         assert captured["pad_to"] == 32

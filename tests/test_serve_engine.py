@@ -102,6 +102,54 @@ class TestServeEngine:
             expect = _static_greedy(cfg, params, tk, p, 5, pixel_values=im)
             assert r.tokens == expect
 
+    def test_precomputed_feats_match_pixels(self):
+        """Vision-decoupled admission: a request carrying precomputed
+        ``image_feats`` (encode_images output) must decode exactly like the
+        same request submitted with raw pixels."""
+        from mimic_tpu.models.lvlm import encode_images
+        import jax.numpy as jnp
+
+        cfg, params, tk = _model("idefics2")
+        rng = np.random.default_rng(4)
+        prompts, images = [], []
+        for n in (7, 13, 9):
+            ids = rng.integers(4, 250, size=(n,)).astype(np.int32)
+            ids[1 : 1 + cfg.image_seq_len] = cfg.image_token_id
+            prompts.append(ids)
+            images.append(rng.normal(size=(1, 28, 28, 3)).astype(np.float32))
+
+        base = encode_images(
+            params, cfg, jnp.asarray(np.stack(images)), None
+        )  # [3, S, D] shared batched base
+
+        def run(mode):
+            eng = ServeEngine(
+                cfg, params, num_slots=2, max_len=48, prefill_buckets=(16,),
+                decode_block=3,
+            )
+            for i, (p, im) in enumerate(zip(prompts, images)):
+                if mode == "feats":
+                    feats = encode_images(params, cfg, jnp.asarray(im[None]), None)[0]
+                    req = ServeRequest(
+                        uid=i, input_ids=p, image_feats=feats, max_new_tokens=5
+                    )
+                elif mode == "shared":
+                    req = ServeRequest(
+                        uid=i, input_ids=p, image_feats=(base, i), max_new_tokens=5
+                    )
+                else:
+                    req = ServeRequest(
+                        uid=i, input_ids=p, pixel_values=im, max_new_tokens=5
+                    )
+                eng.submit(req)
+            return [r.tokens for r in eng.run()]
+
+        assert run("feats") == run("pixels")
+        assert run("shared") == run("pixels")
+        # and against standalone greedy
+        for toks, p, im in zip(run("shared"), prompts, images):
+            assert toks == _static_greedy(cfg, params, tk, p, 5, pixel_values=im)
+
     def test_shift_active(self):
         cfg, params, tk = _model("text")
         enc, _ = get_preset("mimic")
