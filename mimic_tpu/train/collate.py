@@ -48,6 +48,10 @@ class TrainBatch:
     prefix_ans_idx: Optional[np.ndarray] = None
     query_ans_idx: Optional[np.ndarray] = None
     ans_valid: Optional[np.ndarray] = None
+    # content keys per pixel slot (emit_image_keys=True; train.vision_cache):
+    # flat lists of length B*N aligned with the pixel layout — NOT device data
+    query_image_keys: Optional[List] = None
+    full_image_keys: Optional[List] = None
 
 
 def _round_up(n: int, multiple: int) -> int:
@@ -65,6 +69,7 @@ class TrainCollator:
         pad_multiple: int = 64,
         max_query_len: Optional[int] = None,
         max_full_len: Optional[int] = None,
+        emit_image_keys: bool = False,
     ):
         self.proc = processor
         self.tk = processor.tokenizer
@@ -73,6 +78,21 @@ class TrainCollator:
         self.pad_multiple = pad_multiple
         self.max_query_len = max_query_len
         self.max_full_len = max_full_len
+        # content keys for the training vision-feature cache (the frozen
+        # tower makes per-image features constants; demos resample from a
+        # fixed train set, so features recur across steps/epochs)
+        self.emit_image_keys = emit_image_keys
+
+    @staticmethod
+    def _image_keys(nested: List[List[Any]], n_max: int) -> List:
+        from ..models.feature_cache import image_key
+
+        pad = image_key(None)
+        keys: List = []
+        for row in nested:
+            keys.extend(image_key(im) for im in row)
+            keys.extend([pad] * (n_max - len(row)))
+        return keys
 
     def _pad_to(self, texts: List[str], limit: Optional[int]) -> Optional[int]:
         lens = [
@@ -112,6 +132,10 @@ class TrainCollator:
             query_img_attn=q_enc.get("image_attention_mask"),
             query_patch_mask=q_enc.get("patch_mask"),
         )
+        if self.emit_image_keys and out.query_pixels is not None:
+            out.query_image_keys = self._image_keys(
+                query_images, out.query_pixels.shape[1]
+            )
 
         if self.strategy == Strategy.LM_LOSS:
             return out  # no record pass needed (reference :213-214)
@@ -133,6 +157,8 @@ class TrainCollator:
         out.full_pixel_mask = f_enc.get("pixel_mask")
         out.full_img_attn = f_enc.get("image_attention_mask")
         out.full_patch_mask = f_enc.get("patch_mask")
+        if self.emit_image_keys and out.full_pixels is not None:
+            out.full_image_keys = self._image_keys(images, out.full_pixels.shape[1])
 
         side = self.tk.padding_side
         if self.strategy.has_layer_wise():

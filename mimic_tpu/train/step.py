@@ -24,10 +24,13 @@ from .losses import layer_wise_cos, layer_wise_mse, lm_cross_entropy, logits_kl
 
 
 def _to_device_batch(tb: TrainBatch) -> Dict[str, Any]:
-    """numpy TrainBatch → dict of jnp arrays (only non-None leaves)."""
+    """numpy TrainBatch → dict of jnp arrays (only non-None leaves).
+
+    ``*_image_keys`` are host-side cache keys (``train/vision_cache.py``),
+    not device data — they never enter the jitted step."""
     out = {}
     for k, v in vars(tb).items():
-        if v is not None:
+        if v is not None and not k.endswith("_image_keys"):
             out[k] = jnp.asarray(v)
     return out
 
@@ -99,6 +102,7 @@ def compute_loss(
         # record pass are 0.5 GB of the 16 GB chip, and they were dead)
         out1 = lvlm_forward(
             frozen, cfg, _full_lvlm_batch(batch),
+            image_feats=batch.get("full_feats"),
             capture_attn=rec_attn, capture_ffn=rec_ffn, logz2=logz2,
             attn_impl=attn_impl, **ring_kwargs,
             last_logit_only=Strategy.LOGITS_KL_DIV not in strategy,
@@ -126,6 +130,7 @@ def compute_loss(
         prefix_kwargs = dict(position_ids=pos, kv_cache=cache, kv_total_len=total)
     out2 = lvlm_forward(
         frozen, cfg, qb,
+        image_feats=batch.get("query_feats"),
         shift=shift, adapters=lora, lora_scaling=lora_scaling,
         lora_dropout=lora_dropout, dropout_rng=dropout_rng,
         multi_head=mh, capture_attn=rec_attn, capture_ffn=rec_ffn, logz2=logz2,

@@ -93,12 +93,17 @@ def train_loop(
     save_when: Optional[Callable[[int], bool]] = None,
     log_every: int = 2,
     lr_schedule: Optional[Callable[[int], Any]] = None,
+    batch_transform: Optional[Callable] = None,
 ) -> TrainState:
     """Run epochs of the jitted step over host-built batches.
 
     ``epoch_batches(epoch)`` yields TrainBatch objects (host numpy); resume-skip
     semantics match the reference (skip the whole run if every scheduled
     checkpoint already exists).
+
+    ``batch_transform``: TrainBatch → device dict, replacing the default
+    ``_to_device_batch`` (e.g. ``train.vision_cache.TrainVisionCache`` to swap
+    repeated demo images' pixels for cached encoded features).
     """
     runname = get_expand_runname(cfg)
     run_dir = os.path.join(result_dir, "ckpt", runname)
@@ -117,7 +122,10 @@ def train_loop(
     step = int(state.step)
     for epoch in range(max_epochs):
         for batch in epoch_batches(epoch):
-            device_batch = _to_device_batch(batch)
+            device_batch = (
+                batch_transform(batch) if batch_transform is not None
+                else _to_device_batch(batch)
+            )
             state, metrics = train_step(state, frozen_params, device_batch)
             step += 1
             if step % log_every == 0:

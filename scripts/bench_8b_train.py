@@ -182,6 +182,36 @@ def main():
     grad_norm = float(np.asarray(m["grad_norm"]))
     print(f"grad_norm {grad_norm:.4f}", flush=True)
 
+    # --- warm vision-feature cache (train/vision_cache.py): demo images
+    # resample from a fixed train set, so after epoch 1 every record-pass
+    # image is a hit and the step runs vision-free.  Steady-state step: ---
+    from mimic_tpu.models.lvlm import encode_images
+
+    enc_fn = jax.jit(
+        lambda p, px, pm: encode_images(p, cfg, px, pm, attn_impl="flash")
+    )
+    fb = {k: v for k, v in batch.items()}
+    fb["full_feats"] = enc_fn(params, batch["full_pixels"], batch["full_patch_mask"])
+    fb["query_feats"] = enc_fn(params, batch["query_pixels"], batch["query_patch_mask"])
+    for pfx in ("full", "query"):
+        for suf in ("pixels", "pixel_mask", "patch_mask"):
+            fb.pop(f"{pfx}_{suf}", None)
+    jax.block_until_ready(fb["full_feats"])
+
+    state3, m3 = step(state2, params, fb)
+    float(np.asarray(m3["loss"]))
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        state3, m3 = step(state3, params, fb)
+    loss_c = float(np.asarray(m3["loss"]))
+    dt_c = (time.perf_counter() - t0) / iters
+    print(
+        f"8B train step, warm vision cache: {dt_c*1e3:.0f} ms/step "
+        f"({dt*1e3:.0f} cold) -> {text_f/dt_c/1e12:.1f} text-TF/s, "
+        f"text-MFU {text_f/dt_c/peak:.3f}; loss {loss_c:.4f}",
+        flush=True,
+    )
+
 
 if __name__ == "__main__":
     main()
