@@ -235,6 +235,8 @@ class Result:
                 "icl_cache_hit_rate": None,
                 "serve_varlen_engine_qps": None,
                 "serve_varlen_static_earlystop_qps": None,
+                "train_8b_step_ms_cold": None,
+                "train_8b_step_ms_warm_cache": None,
             },
             "detail": {},
         }
@@ -397,6 +399,25 @@ def main():
         except Exception as e:
             print(f"# 8B section failed: {type(e).__name__}: {e}", file=sys.stderr)
     res.emit("8b")
+
+    # 8B MimIC TRAINING on this one chip (round 5): int8 frozen tower dual-pass
+    # step, cold (in-step vision) and steady-state (warm vision cache)
+    jax.clear_caches()
+    gc.collect()
+    if (
+        jax.default_backend() == "tpu"
+        and not os.environ.get("BENCH_SKIP_8B")
+        and _budget_left() > 400
+    ):
+        try:
+            from bench_8b_train import run_8b_train_bench
+
+            r8t = run_8b_train_bench(iters=3)
+            res.doc["extra_metrics"]["train_8b_step_ms_cold"] = round(r8t["cold_ms"], 0)
+            res.doc["extra_metrics"]["train_8b_step_ms_warm_cache"] = round(r8t["warm_ms"], 0)
+        except Exception as e:
+            print(f"# 8B train section failed: {type(e).__name__}: {e}", file=sys.stderr)
+    res.emit("8b_train")
     # serve engine vs static batching at mixed prompt lengths (the round-3
     # VERDICT asked for this as a recorded bench metric).  Runs LAST: its
     # engines pin several GB that the 8B build cannot spare (measured: 8B OOMs

@@ -112,8 +112,10 @@ def analytic_flops(cfg, B, T_rec, T_shift, n_imgs, M):
     return text, n_imgs * vision_one
 
 
-def main():
-    _enable_compile_cache()
+def run_8b_train_bench(iters: int = 5) -> dict:
+    """Measure the 8B dual-pass step (cold vision + warm-cache); returns
+    {"cold_ms", "warm_ms", "mfu", "text_mfu_warm"}.  Frees nothing — callers
+    should drop references / clear caches afterwards."""
     import jax
     import jax.numpy as jnp
 
@@ -158,7 +160,6 @@ def main():
         flush=True,
     )
 
-    iters = 5
     t0 = time.perf_counter()
     m = None
     for _ in range(iters):
@@ -211,6 +212,17 @@ def main():
         f"text-MFU {text_f/dt_c/peak:.3f}; loss {loss_c:.4f}",
         flush=True,
     )
+    return {
+        "cold_ms": dt * 1e3,
+        "warm_ms": dt_c * 1e3,
+        "mfu": flops / dt / peak,
+        "text_mfu_warm": text_f / dt_c / peak,
+    }
+
+
+def main():
+    _enable_compile_cache()
+    run_8b_train_bench()
 
 
 if __name__ == "__main__":
