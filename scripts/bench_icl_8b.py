@@ -84,15 +84,33 @@ def main():
     def sync(r):
         return float(np.asarray(jnp.sum(r.tokens).astype(jnp.float32)))
 
-    # -- uncached (reference behavior: every image through the tower) --------
-    px0, _ = make_pixels(0)
-    batch_px = LVLMBatch(
-        input_ids=ids_j, attention_mask=mask_j,
-        pixel_values=jnp.asarray(px0),
-        pixel_mask=jnp.ones((B, N), jnp.int32),
-        patch_mask=jnp.asarray(pm_np),
+    # -- uncached (reference behavior: EVERY image through the tower, every
+    # batch).  The encode is chunked 16-images-at-a-time — encoding all 64 in
+    # one program materializes the connector's [64,4900,14336] bf16
+    # intermediate (8.4 GB, OOM next to the 9.6 GB weight tree); chunking is
+    # strictly favorable to this baseline. --------------------------------
+    from mimic_tpu.models.lvlm import encode_images
+
+    enc_fn = jax.jit(
+        lambda p, px, pm: encode_images(p, cfg, px, pm, attn_impl=gen_kw["attn_impl"])
     )
-    run_unc = lambda: beam_generate(params, cfg, batch_px, **gen_kw)
+    px0, _ = make_pixels(0)
+    px0_j = jnp.asarray(px0)
+    pm_j = jnp.asarray(pm_np)
+    batch_nopx = LVLMBatch(input_ids=ids_j, attention_mask=mask_j)
+
+    def run_unc():
+        chunks = [
+            enc_fn(
+                params,
+                px0_j.reshape(B * N, 1, size, size, 3)[i : i + 16],
+                pm_j.reshape(B * N, 1, ng, ng)[i : i + 16],
+            )
+            for i in range(0, B * N, 16)
+        ]
+        feats = jnp.concatenate(chunks).reshape(B, N * cfg.image_seq_len, -1)
+        return beam_generate(params, cfg, batch_nopx, image_feats=feats, **gen_kw)
+
     t0 = time.perf_counter()
     sync(run_unc())
     print(f"compile+first uncached batch {time.perf_counter()-t0:.0f}s", flush=True)
