@@ -98,12 +98,33 @@ def run_train(
         seed=cfg.seed,
     )
 
+    # training vision-feature cache: demo images resample from the fixed
+    # train set (interface.py:192-289 semantics) and the tower is frozen —
+    # cache their encoded features instead of re-encoding every step.
+    # Inline-splice families only; the mesh path keeps the in-step encode
+    # (feats would need their own sharding story).
+    use_vcache = (
+        getattr(cfg, "vision_cache", False)
+        and runner.cfg.family != "idefics1"
+        and runner.cfg.vision is not None
+        and not use_mesh
+    )
     collator = TrainCollator(
         runner.processor, cfg.encoder.strategy(),
         num_image_in_query=cfg.data.num_image_in_query,
         max_query_len=cfg.data.max_query_len,
         max_full_len=cfg.data.max_full_len,
+        emit_image_keys=use_vcache,
     )
+    batch_transform = None
+    if use_vcache:
+        from ..train.vision_cache import TrainVisionCache
+
+        batch_transform = TrainVisionCache(
+            runner.cfg, runner.params,
+            max_bytes=getattr(cfg, "vision_cache_mb", 2048) * 1024 * 1024,
+            attn_impl=attn_impl if attn_impl in ("flash", "xla") else None,
+        )
 
     frozen = runner.params
     mesh = None
@@ -132,6 +153,7 @@ def run_train(
             cfg, state, frozen, step, epoch_batches,
             result_dir=result_dir, max_epochs=max_epochs,
             lr_schedule=cosine_warmup_schedule(cfg.peft.lr, warmup, total_steps),
+            batch_transform=batch_transform,
         )
     return state
 
