@@ -603,3 +603,46 @@ def test_prefix_flash_prefill_compiled():
             assert "flash+prefix" in D.ATTN_PATH_LOG, D.ATTN_PATH_LOG
         logits[impl] = np.asarray(out.logits, np.float32)
     np.testing.assert_allclose(logits["flash"], logits["xla"], rtol=8e-2, atol=8e-2)
+
+
+@requires_tpu
+def test_serve_engine_flash_prefill_compiled():
+    """The serve engine's admission prefill must dispatch to the flash kernel
+    on the real chip (round-5: this took uniform serving 90 → 97 q/s) and the
+    generated tokens must match a standalone greedy decode."""
+    from mimic_tpu.models import decoder as D
+    from mimic_tpu.models.generate import greedy_generate
+    from mimic_tpu.models.lm import init_lm_params
+    from mimic_tpu.models.lvlm import LVLMBatch
+    from mimic_tpu.serve.engine import ServeEngine, ServeRequest
+
+    cfg = _text_cfg()  # head_size 128 -> flash-eligible
+    params = {"lm": init_lm_params(cfg.text, jax.random.PRNGKey(0), dtype=jnp.bfloat16)}
+    rng = np.random.default_rng(11)
+    prompts = [rng.integers(4, 500, size=(n,)).astype(np.int32) for n in (40, 97, 120)]
+
+    D.ATTN_PATH_LOG.clear()
+    jax.clear_caches()  # path log appends at trace time only
+    eng = ServeEngine(
+        cfg, params, num_slots=2, max_len=160, prefill_buckets=(128,),
+        decode_block=2,
+    )
+    for i, p in enumerate(prompts):
+        eng.submit(ServeRequest(uid=i, input_ids=p, max_new_tokens=5))
+    results = eng.run()
+    assert "flash" in D.ATTN_PATH_LOG, D.ATTN_PATH_LOG
+
+    for r, p in zip(results, prompts):
+        batch = LVLMBatch(
+            input_ids=jnp.asarray(p[None]),
+            attention_mask=jnp.ones((1, len(p)), jnp.int32),
+        )
+        out = greedy_generate(
+            params, cfg, batch, max_new_tokens=5,
+            eos_token_id=cfg.eos_token_id, pad_token_id=cfg.pad_token_id,
+            logz2="masked",
+        )
+        toks = [int(t) for t in np.asarray(out.tokens)[0]]
+        if cfg.eos_token_id in toks:
+            toks = toks[: toks.index(cfg.eos_token_id)]
+        assert r.tokens == toks, (r.uid, r.tokens, toks)
