@@ -133,10 +133,14 @@ class VisionFeatureCache:
         if len(keys) != B * N:
             raise ValueError(f"{len(keys)} keys for {B}x{N} images")
 
-        # ordered-unique miss keys with a representative flat index each
+        # ordered-unique miss keys with a representative flat index each;
+        # hit entries are touched NOW so this batch's working set is MRU and
+        # cannot be evicted by the insert below
         miss_order: "OrderedDict[Tuple, int]" = OrderedDict()
         for flat, k in enumerate(keys):
-            if k not in self._store and k not in miss_order:
+            if k in self._store:
+                self._store.move_to_end(k)
+            elif k not in miss_order:
                 miss_order[k] = flat
         self.misses += len(miss_order)
         self.hits += len(keys) - len(miss_order)
@@ -163,9 +167,6 @@ class VisionFeatureCache:
             for j, k in enumerate(miss_order):
                 self._store[k] = feats[j]
                 self._bytes += entry_bytes
-            while self._bytes > self.max_bytes and len(self._store) > len(miss_order):
-                _, old = self._store.popitem(last=False)
-                self._bytes -= int(old.size) * old.dtype.itemsize
 
         slices: List[jnp.ndarray] = []
         for k in keys:
@@ -173,5 +174,13 @@ class VisionFeatureCache:
             self._store.move_to_end(k)
             slices.append(feat)
         out = jnp.stack(slices)  # [B*N, S, D]
+
+        # evict AFTER assembly: this batch's whole working set (hits AND new
+        # misses, all MRU by now) stays resident while it is being used; a
+        # byte budget smaller than one batch evicts oldest-first afterwards
+        while self._bytes > self.max_bytes and len(self._store) > 1:
+            _, old = self._store.popitem(last=False)
+            self._bytes -= int(old.size) * old.dtype.itemsize
+
         S, D = out.shape[1], out.shape[2]
         return out.reshape(B, N * S, D)

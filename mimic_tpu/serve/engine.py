@@ -536,4 +536,8 @@ class ServeEngine:
             res.tokens = toks
             done.append(res)
         self._claims, self._firsts, self._chunks = [], [], []
+        # stale tenant entries are harmless (the reclaim reader gates on
+        # _alive, and _admit re-tenants every slot it fills) but would index
+        # into the cleared claims list — drop them with the rest of run state
+        self._tenant.clear()
         return sorted(done, key=lambda r: r.uid)

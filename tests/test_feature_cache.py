@@ -206,6 +206,34 @@ class TestFeatureCacheUnit:
         # most-recent entries survive (LRU)
         assert (7,) in cache._store
 
+    def test_tight_budget_hits_survive_assembly(self):
+        """A byte budget smaller than one batch must not evict a same-batch
+        HIT between miss-insert and assembly (round-5 self-review fix):
+        features stay correct and no KeyError occurs."""
+        cfg, params = self._setup()
+        size = cfg.vision.image_size
+        rng = np.random.default_rng(5)
+        imgs = [
+            rng.normal(size=(size, size, 3)).astype(np.float32) for _ in range(4)
+        ]
+        probe = VisionFeatureCache()
+        px0 = imgs[0][None, None]
+        probe.get_features(params, cfg, px0, None, [image_key(imgs[0])])
+        entry = probe.nbytes
+
+        cache = VisionFeatureCache(max_bytes=2 * entry)  # < one 3-slot batch
+        # seed an entry that the next batch will HIT
+        cache.get_features(params, cfg, px0, None, [image_key(imgs[0])])
+        # batch: 1 hit + 2 misses — exceeds the budget mid-assembly
+        px = np.stack([imgs[0], imgs[1], imgs[2]])[None]  # [1,3,H,W,C]
+        keys = [image_key(imgs[i]) for i in (0, 1, 2)]
+        got = np.asarray(cache.get_features(params, cfg, px, None, keys))
+        want = np.asarray(
+            encode_images(params, cfg, jnp.asarray(px), None)
+        )
+        np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
+        assert cache.nbytes <= 2 * entry  # budget enforced after assembly
+
     def test_idefics1_rejected(self):
         tk = SimpleTokenizer()
         cfg = get_model_config("tiny-idefics1").replace(
