@@ -197,6 +197,7 @@ def run_engine(cfg, params, tk, reqs, num_slots=32, reclaim=True):
     for uid, (p, n) in enumerate(reqs):
         eng.submit(ServeRequest(uid=uid, input_ids=p, max_new_tokens=n))
     eng.run()
+    eng.reclaimed_blocks = eng.blocks_run = 0  # report the measured run only
 
     t0 = time.perf_counter()
     for uid, (p, n) in enumerate(reqs):
